@@ -1,0 +1,85 @@
+"""IDR-style radiance (color) network with NeRF-W appearance head.
+
+Behavioral spec from the reference RenderingNetwork
+(reference models/neuconw.py:59-170), encode_apperence=True, mode="idr":
+  * static head: xyz_encoding_final = Linear(512, 512) over the geometry
+    feature; dir_encoding = MLP([512 + PE(view,27) + a(48)] -> 128 -> 128)
+    with ReLU (static_head_layers=2); both plain (un-normed) linears,
+  * main branch input = [points(3), normals(3), dir_encoding(128)] = 134
+    -> 4 hidden x 256 -> 3, weight-normed, ReLU between, sigmoid output.
+Without appearance encoding the main branch consumes
+[points, PE(view), normals, feature] directly (indoor variant).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    apply_linear,
+    apply_wn_linear,
+    init_linear,
+    init_wn_linear,
+    pe_dim,
+    positional_encoding,
+)
+
+
+def color_dims(cfg, in_channels_a: int, encode_a: bool):
+    d_view_pe = pe_dim(3, cfg["multires_view"]) if cfg["multires_view"] > 0 else 3
+    if encode_a:
+        d0 = cfg["d_in"] + cfg["head_channels"] - 3
+    else:
+        d0 = cfg["d_in"] + cfg["d_feature"] + (d_view_pe - 3 if cfg["multires_view"] > 0 else 0)
+    dims = [d0] + [cfg["d_hidden"]] * cfg["n_layers"] + [cfg["d_out"]]
+    d_head_in = cfg["d_feature"] + in_channels_a + d_view_pe
+    return dims, d_head_in, d_view_pe
+
+
+def init_color(key, cfg, in_channels_a: int, encode_a: bool, dtype=jnp.float32):
+    dims, d_head_in, _ = color_dims(cfg, in_channels_a, encode_a)
+    n_layers = len(dims) - 1
+    keys = jax.random.split(key, n_layers + cfg["static_head_layers"] + 1)
+    init_main = init_wn_linear if cfg["weight_norm"] else init_linear
+
+    params = {}
+    for l in range(n_layers):
+        params[f"lin{l}"] = init_main(keys[l], dims[l], dims[l + 1], dtype)
+    if encode_a:
+        params["xyz_final"] = init_linear(keys[n_layers], cfg["d_feature"], cfg["d_feature"], dtype)
+        params["static0"] = init_linear(keys[n_layers + 1], d_head_in, cfg["head_channels"], dtype)
+        for s in range(1, cfg["static_head_layers"]):
+            params[f"static{s}"] = init_linear(
+                keys[n_layers + 1 + s], cfg["head_channels"], cfg["head_channels"], dtype
+            )
+    return params
+
+
+def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature, a_embedded=None):
+    """All inputs (N, d); returns rgb (N, 3) in [0, 1]."""
+    apply_main = apply_wn_linear if cfg["weight_norm"] else apply_linear
+    n_layers = cfg["n_layers"] + 1
+
+    if cfg["multires_view"] > 0:
+        view_dirs = positional_encoding(view_dirs, cfg["multires_view"])
+
+    if encode_a:
+        xyz_final = apply_linear(params["xyz_final"], feature)
+        h = jnp.concatenate([xyz_final, view_dirs, a_embedded], axis=-1)
+        for s in range(cfg["static_head_layers"]):
+            h = jax.nn.relu(apply_linear(params[f"static{s}"], h))
+        x = jnp.concatenate([points, normals, h], axis=-1)
+    else:
+        if cfg["mode"] == "idr":
+            x = jnp.concatenate([points, view_dirs, normals, feature], axis=-1)
+        elif cfg["mode"] == "no_view_dir":
+            x = jnp.concatenate([points, normals, feature], axis=-1)
+        else:  # no_normal
+            x = jnp.concatenate([points, view_dirs, feature], axis=-1)
+
+    for l in range(n_layers):
+        x = apply_main(params[f"lin{l}"], x)
+        if l < n_layers - 1:
+            x = jax.nn.relu(x)
+    return jax.nn.sigmoid(x)

@@ -1,0 +1,91 @@
+"""Shared building blocks: positional encoding, (weight-normed) linear layers.
+
+Pure functions over explicit parameter pytrees — no module framework. All
+layers store weights as (d_in, d_out) so application is ``x @ w + b``
+(row-major, MXU-friendly).
+
+Weight normalization is stored factorized (v, g) and re-materialized per
+application: ``w = v * (g / ||v||_col)`` with the norm taken over the
+input axis per output unit — equivalent to torch's
+``nn.utils.weight_norm(lin)`` with dim=0 on a (d_out, d_in) weight
+(reference models/neuconw.py:256-257).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def positional_encoding(x: jnp.ndarray, n_freqs: int, include_input: bool = True) -> jnp.ndarray:
+    """NeRF positional encoding.
+
+    Layout: [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{n-1} x), cos(2^{n-1} x)]
+    over the last axis — matching the reference Embedder's fn order
+    (reference models/neuconw.py:12-37).
+    """
+    if n_freqs <= 0:
+        return x
+    feats = [x] if include_input else []
+    for i in range(n_freqs):
+        freq = jnp.asarray(2.0**i, dtype=x.dtype)
+        feats.append(jnp.sin(x * freq))
+        feats.append(jnp.cos(x * freq))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def pe_dim(d_in: int, n_freqs: int, include_input: bool = True) -> int:
+    return d_in * ((1 if include_input else 0) + 2 * n_freqs)
+
+
+# --------------------------- plain linear ---------------------------
+
+
+def init_linear(key, d_in: int, d_out: int, dtype=jnp.float32):
+    """Torch-default Linear init: U(-1/sqrt(d_in), 1/sqrt(d_in)) for both
+    weight and bias (kaiming_uniform(a=sqrt(5)) reduces to this bound)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (d_out,), dtype, -bound, bound),
+    }
+
+
+def apply_linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+# ------------------------ weight-normed linear ------------------------
+
+
+def wn_from_weight(w: jnp.ndarray, b: jnp.ndarray):
+    """Factorize an explicit (d_in, d_out) weight into weight-norm params.
+
+    At init the effective weight equals ``w`` exactly (g = column norm)."""
+    g = jnp.linalg.norm(w, axis=0)
+    return {"v": w, "g": g, "b": b}
+
+
+def init_wn_linear(key, d_in: int, d_out: int, dtype=jnp.float32):
+    p = init_linear(key, d_in, d_out, dtype)
+    return wn_from_weight(p["w"], p["b"])
+
+
+def wn_weight(p):
+    norm = jnp.linalg.norm(p["v"], axis=0, keepdims=True)
+    return p["v"] * (p["g"][None, :] / jnp.maximum(norm, 1e-12))
+
+
+def apply_wn_linear(p, x):
+    return x @ wn_weight(p) + p["b"]
+
+
+# ------------------------------ misc ------------------------------
+
+
+def softplus_beta(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
+    """Numerically-stable softplus with sharpness beta (SDF activation,
+    reference models/neuconw.py:261)."""
+    return jnp.logaddexp(x * beta, 0.0) / beta

@@ -1,0 +1,119 @@
+"""The complete NeuconW field: SDF + color + variance + appearance + bg NeRF.
+
+Parameter pytree layout (checkpoint schema):
+  params = {
+    "embedding_a": (N_VOCAB, N_A),          # NeRF-W appearance table
+    "neuconw": {"sdf": ..., "color": ..., "variance": scalar},
+    "nerf_bg": {...},
+  }
+Mirrors the reference module split so name-prefix checkpoint surgery has a
+direct equivalent (reference utils/__init__.py:64-99, models named
+embedding_a / neuconw / nerf at lightning_modules/neuconw_system.py:74-135).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .color import apply_color, init_color
+from .nerf_bg import apply_nerf_bg, init_nerf_bg
+from .sdf import apply_sdf, init_sdf, sdf_value, sdf_value_feat_grad
+
+
+class FieldConfig(NamedTuple):
+    """Static model hyperparameters (hashable; safe as a jit closure)."""
+
+    sdf: tuple  # sorted (key, value) items of SDF_CONFIG
+    color: tuple  # sorted items of COLOR_CONFIG
+    s_init: float
+    n_vocab: int
+    n_a: int
+    encode_a: bool
+    encode_a_bg: bool
+
+    @property
+    def sdf_cfg(self) -> dict:
+        return dict(self.sdf)
+
+    @property
+    def color_cfg(self) -> dict:
+        return dict(self.color)
+
+
+def field_config_from_cfg(cfg) -> FieldConfig:
+    """Build a FieldConfig from the NEUCONW config node."""
+    n = cfg.NEUCONW
+    return FieldConfig(
+        sdf=tuple(sorted(dict(n.SDF_CONFIG).items())),
+        color=tuple(sorted(dict(n.COLOR_CONFIG).items())),
+        s_init=float(n.S_CONFIG.init_val),
+        n_vocab=int(n.N_VOCAB),
+        n_a=int(n.N_A),
+        encode_a=bool(n.ENCODE_A),
+        encode_a_bg=bool(n.ENCODE_A_BG),
+    )
+
+
+def init_field(key, fc: FieldConfig, dtype=jnp.float32):
+    k_emb, k_sdf, k_color, k_bg = jax.random.split(key, 4)
+    return {
+        "embedding_a": jax.random.normal(k_emb, (fc.n_vocab, fc.n_a), dtype),
+        "neuconw": {
+            "sdf": init_sdf(k_sdf, fc.sdf_cfg, dtype),
+            "color": init_color(k_color, fc.color_cfg, fc.n_a, fc.encode_a, dtype),
+            "variance": jnp.asarray(fc.s_init, dtype),
+        },
+        "nerf_bg": init_nerf_bg(k_bg, fc.encode_a_bg, fc.n_a, dtype),
+    }
+
+
+def inv_s(params) -> jnp.ndarray:
+    """Learned inverse standard deviation, exp(10 * variance), clamped
+    (reference models/neuconw.py:179, 363-367)."""
+    return jnp.clip(jnp.exp(params["neuconw"]["variance"] * 10.0), 1e-6, 1e6)
+
+
+def field_sdf(params, fc: FieldConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    """SDF probe, (..., 3) -> (...,). Mesh/octree sweeps use this."""
+    return sdf_value(params["neuconw"]["sdf"], fc.sdf_cfg, pts)
+
+
+def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
+    """Foreground field evaluation at flattened sample points.
+
+    Args:
+        pts, dirs: (N, 3); a_embedded: (N, n_a).
+    Returns:
+        rgb (N, 3), inv_s scalar, sdf (N,), gradients (N, 3).
+    Matches NeuconW.forward semantics (reference models/neuconw.py:339-376)
+    with the gradient from one fused vjp instead of a second autograd pass.
+    """
+    sdf_cfg = fc.sdf_cfg
+    sdf, feat, grad = sdf_value_feat_grad(params["neuconw"]["sdf"], sdf_cfg, pts)
+    rgb = apply_color(
+        params["neuconw"]["color"],
+        fc.color_cfg,
+        fc.encode_a,
+        pts,
+        grad,
+        dirs,
+        feat,
+        a_embedded,
+    )
+    return rgb, inv_s(params), sdf, grad
+
+
+def field_rgb(params, fc: FieldConfig, pts, dirs, a_embedded):
+    """Color probe for mesh vertex coloring (reference
+    rendering/renderer.py:951-961)."""
+    rgb, _, _, _ = field_forward(params, fc, pts, dirs, a_embedded)
+    return rgb
+
+
+def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded):
+    """Background NeRF evaluation; pts4 (N, 4) inverted-sphere coords."""
+    a = a_embedded if fc.encode_a_bg else None
+    return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a)
