@@ -1,0 +1,101 @@
+"""Hierarchical ray sampling: uniform base, NeuS SDF importance up-sampling,
+voxel-guided surface bands, boundary guards, background spacing.
+
+Fixed-shape, fully jittable re-design of the reference sampler
+(reference rendering/renderer.py:15-48, 257-363, 458-568). All sample
+counts are static; rays that miss the fine voxel grid fall back to their
+cached near/far instead of being dropped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """Deterministic inverse-CDF sampling (det branch of the reference's
+    sample_pdf, reference rendering/renderer.py:15-48; the non-det branch
+    is broken upstream and never used).
+
+    Args:
+        bins: (R, B) sorted sample positions.
+        weights: (R, B-1) section weights.
+    Returns:
+        (R, n_samples) new positions.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R, B)
+
+    u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples, dtype=cdf.dtype)
+    u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+
+    # searchsorted(right): count of cdf entries <= u. B is small (~25-35):
+    # a broadcast compare beats gather-based searchsorted on TPU.
+    inds = jnp.sum(cdf[..., :, None] <= u[..., None, :], axis=-2)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_lo = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_hi = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def up_sample(rays_o, rays_d, z_vals, sdf, n_importance: int, inv_s: float):
+    """One NeuS up-sampling round with a fixed inv_s schedule value
+    (64 * 2^(s_val_base + i), reference rendering/renderer.py:257-341).
+
+    Section-wise linear SDF model; cos value clamped with its predecessor
+    (min) for robustness, clipped to [-1e3, 0], masked to the unit sphere;
+    alpha from the sigmoid-CDF ratio; deterministic inverse-CDF draw.
+    """
+    batch, n = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    prev_cos = jnp.concatenate([jnp.zeros((batch, 1), cos_val.dtype), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((batch, 1), alpha.dtype), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[:, :-1]
+    weights = alpha * trans
+    return jax.lax.stop_gradient(sample_pdf(z_vals, weights, n_importance))
+
+
+def cat_z_vals(sdf_fn, rays_o, rays_d, z_vals, new_z_vals, sdf, last: bool):
+    """Merge + re-sort sample positions; evaluate SDF at the new points
+    unless this is the final round (reference rendering/renderer.py:343-363).
+    ``sdf_fn`` maps (R, S, 3) points -> (R, S) SDF values."""
+    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    order = jnp.argsort(z_cat, axis=-1)
+    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    if last:
+        return z_sorted, None
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
+    new_sdf = sdf_fn(pts)
+    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
+    return z_sorted, jnp.take_along_axis(sdf_cat, order, axis=-1)

