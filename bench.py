@@ -1,0 +1,73 @@
+"""Headline benchmark: training-step throughput (rays/sec/chip).
+
+Runs the full jitted NeuS-W training step (production architecture,
+brandenburg_gate sampling budget: 8 uniform + 16 importance over 2
+up-sample rounds + 10 boundary + 4 background samples per ray, SDF
+8x512 with per-sample gradients, color 4x256, background NeRF, Adam)
+on whatever chip jax defaults to, and prints ONE JSON line.
+
+Baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). ``vs_baseline`` is measured rays/sec divided by an
+estimated 20,000 rays/s for the PyTorch reference on one A100 (batch
+2048, ~38 samples/ray, double-backprop SDF; documented estimate, not a
+measurement). The north-star target is vs_baseline >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+A100_REFERENCE_RAYS_PER_SEC = 20_000.0
+
+BATCH = 2048
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from __graft_entry__ import _make_batch, _scene_cfg, _scene_info
+    from neuralrecon_w_tpu.config import get_cfg_defaults
+    from neuralrecon_w_tpu.models import field_config_from_cfg
+    from neuralrecon_w_tpu.rendering import render_config_from_cfg
+    from neuralrecon_w_tpu.training import (
+        init_state, loss_config_from_cfg, make_optimizer, make_train_step,
+    )
+
+    cfg = _scene_cfg(get_cfg_defaults(), flagship=True)
+    fc = field_config_from_cfg(cfg)
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, BATCH)
+
+    step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
+                   donate_argnums=(0,))
+    state = init_state(jax.random.PRNGKey(0), fc, opt)
+    scene = _scene_info()
+    batch = _make_batch(BATCH, fc.n_vocab)
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        state, aux = step(state, scene, batch, rng)
+    jax.block_until_ready(aux["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, aux = step(state, scene, batch, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

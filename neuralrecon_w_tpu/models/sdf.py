@@ -46,6 +46,13 @@ def init_sdf(key, cfg, dtype=jnp.float32):
     inside_outside = bool(cfg["inside_outside"])
     multires = int(cfg["multires"])
 
+    for s in skip_in:
+        if dims[s] - dims[0] <= 0:
+            raise ValueError(
+                f"d_hidden ({dims[s]}) must exceed the PE input width "
+                f"({dims[0]}) for the skip concat at layer {s}"
+            )
+
     params = {}
     keys = jax.random.split(key, n_layers)
     for l in range(n_layers):

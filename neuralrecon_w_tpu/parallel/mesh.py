@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's NCCL/DDP runtime (reference train.py:55, utils/comm.py:22-53).
+
+One logical axis pair:
+  * ``data`` — rays are sharded here; gradient reduction is an XLA psum
+    inserted automatically by jit from the sharding annotations (the DDP
+    allreduce of reference train.py:55).
+  * ``model`` — reserved for sharding the field MLP weights; the flagship
+    model fits on one chip so defaults keep it at 1.
+
+Everything is single-controller JAX: no process groups, no rank
+bookkeeping — `jax.process_index()` replaces utils/comm.py entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. n_data=-1 uses every device."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data < 0:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded across data — for ray batches."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated — for params/optimizer state on a data-only mesh."""
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(mesh: Mesh, batch):
+    """Device_put a pytree of per-ray arrays with the batch axis sharded."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
+def split_for_devices(x: np.ndarray, n_devices: int, pad_value=0.0):
+    """Pad the leading axis to a multiple of n_devices (reference
+    get_local_split pads with zeros then trims after all_gather,
+    reference lightning_modules/neuconw_system.py:39-57). Returns the
+    padded array and the original length."""
+    n = x.shape[0]
+    target = pad_to_multiple(max(n, 1), n_devices)
+    if target == n:
+        return x, n
+    pad = np.full((target - n,) + x.shape[1:], pad_value, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0), n

@@ -1,0 +1,90 @@
+"""Online surface-grid refinement ("octree_update").
+
+Every UPDATE_FREQ steps the reference densifies the SFM octree to the
+training level, SDF-sweeps every voxel center across ranks, keeps voxels
+with sdf <= SDF_THRESHOLD and rebuilds a fine octree that re-centers all
+subsequent ray sampling around the current zero set (reference
+lightning_modules/neuconw_system.py:186-312). TPU version: the sweep is a
+sharded jit eval (parallel/sweep.py); the rebuild is a host-side
+morton-sorted VoxelGrid shipped back as a packed bitfield — a natural
+device/host boundary that leaves the jitted train step untouched (no
+recompile: the fine grid enters as a dynamic DeviceGrid operand).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.neuconw import FieldConfig
+from ..ops.ray_voxel import DeviceGrid, device_grid_from_host
+from ..ops.voxel_grid import VoxelGrid, level_for_voxel_size, scene_bbx_sfm
+from ..parallel.sweep import sharded_sdf_sweep
+
+
+def surface_level(scene_config: dict, train_voxel_size: float) -> int:
+    """Grid level whose cells are <= train_voxel_size over the scene cube
+    (reference neuconw_system.py:314-335 picks ceil)."""
+    bbx_min, bbx_max = scene_bbx_sfm(scene_config, in_sfm=True)
+    scale = float(np.max(bbx_max - bbx_min) / 2.0)
+    return level_for_voxel_size(scale, train_voxel_size, mode="ceil")
+
+
+def surface_selection(
+    params,
+    fc: FieldConfig,
+    sfm_grid: VoxelGrid,
+    train_level: int,
+    scene_origin: np.ndarray,
+    scene_radius: float,
+    sdf_threshold: float = 0.0,
+    mesh=None,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Voxel centers (unit-sphere coords) whose SDF is <= threshold
+    (reference neuconw_system.py:186-266)."""
+    dense = sfm_grid.upsample(train_level)
+    centers_sfm = dense.centers_sfm()
+    centers_unit = (centers_sfm - scene_origin) / scene_radius
+    sdf = sharded_sdf_sweep(params, fc, centers_unit.astype(np.float32), mesh, chunk)
+    keep = sdf <= sdf_threshold
+    return centers_sfm[keep], centers_unit[keep]
+
+
+def octree_update(
+    params,
+    fc: FieldConfig,
+    sfm_grid: VoxelGrid,
+    scene_config: dict,
+    scene_origin: np.ndarray,
+    scene_radius: float,
+    train_voxel_size: float,
+    sdf_threshold: float = 0.0,
+    mesh=None,
+    chunk: int = 65536,
+) -> tuple[VoxelGrid, DeviceGrid] | tuple[None, None]:
+    """Rebuild the fine surface grid from the current SDF
+    (reference neuconw_system.py:268-312). Returns (host grid, device
+    grid); (None, None) when no voxel survives (keeps the previous grid,
+    reference logs and skips in that case)."""
+    level = surface_level(scene_config, train_voxel_size)
+    centers_sfm, _ = surface_selection(
+        params, fc, sfm_grid, level, scene_origin, scene_radius,
+        sdf_threshold, mesh, chunk,
+    )
+    if len(centers_sfm) == 0:
+        return None, None
+    # rebuild at the SFM grid's cube frame so traversal math is shared
+    res = 1 << level
+    cells = np.clip(
+        np.floor(((centers_sfm - sfm_grid.origin) / sfm_grid.scale + 1.0) / 2.0 * res),
+        0, res - 1,
+    ).astype(np.int64)
+    host = VoxelGrid(level, sfm_grid.origin, sfm_grid.scale,
+                     _dedup_sort(cells, level))
+    return host, device_grid_from_host(host)
+
+
+def _dedup_sort(cells: np.ndarray, level: int) -> np.ndarray:
+    from ..ops.voxel_grid import _sort_coords
+
+    return _sort_coords(cells, level)

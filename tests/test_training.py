@@ -1,0 +1,250 @@
+"""Training-system tests: loss parity semantics, the jitted+sharded train
+step (8 virtual CPU devices via conftest), sweeps, surface refinement,
+checkpoint round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neuralrecon_w_tpu.config import get_cfg_defaults
+from neuralrecon_w_tpu.models import field_config_from_cfg, init_field
+from neuralrecon_w_tpu.ops.voxel_grid import VoxelGrid, grid_from_points
+from neuralrecon_w_tpu.ops.ray_voxel import device_grid_from_host
+from neuralrecon_w_tpu.parallel import make_mesh, sharded_sdf_sweep
+from neuralrecon_w_tpu.rendering import SceneInfo, render_config_from_cfg
+from neuralrecon_w_tpu.training import (
+    TrainState,
+    init_state,
+    jit_train_step,
+    loss_config_from_cfg,
+    loss_terms,
+    make_optimizer,
+    make_train_step,
+    mse,
+    psnr,
+    ray_mask_from_labels,
+    scaled_lr,
+    octree_update,
+    surface_level,
+)
+
+
+def tiny_cfg():
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.N_SAMPLES = 4
+    n.N_IMPORTANCE = 4
+    n.UP_SAMPLE_STEP = 2
+    n.N_OUTSIDE = 2
+    n.BOUNDARY_SAMPLES = 2
+    n.N_VOCAB = 8
+    n.ANNEAL_END = 10
+    n.SDF_CONFIG.d_hidden = 64
+    n.SDF_CONFIG.d_out = 65
+    n.SDF_CONFIG.n_layers = 4
+    n.SDF_CONFIG.skip_in = (2,)
+    n.COLOR_CONFIG.d_feature = 64
+    n.COLOR_CONFIG.d_hidden = 16
+    n.COLOR_CONFIG.n_layers = 2
+    n.COLOR_CONFIG.head_channels = 8
+    return cfg
+
+
+def make_batch(n=16, seed=0):
+    rs = np.random.RandomState(seed)
+    o = rs.randn(n, 3).astype(np.float32) * 0.1 + np.array([0, 0, 2], np.float32)
+    d = -o + rs.randn(n, 3).astype(np.float32) * 0.05
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 0.5, np.float32)
+    far = np.full((n, 1), 4.0, np.float32)
+    depth = np.full((n, 1), 2.0, np.float32)
+    weight = (rs.rand(n, 1) > 0.5).astype(np.float32)
+    rays = np.concatenate([o, d, near, far, depth, weight], axis=1)
+    return {
+        "rays": jnp.asarray(rays),
+        "ts": jnp.asarray(rs.randint(0, 8, (n,)), jnp.int32),
+        "labels": jnp.asarray(rs.randint(0, 4, (n,)), jnp.int32),
+        "rgbs": jnp.asarray(rs.rand(n, 3).astype(np.float32)),
+    }
+
+
+def scene():
+    return SceneInfo(
+        origin=jnp.zeros((3,)), radius=jnp.asarray(2.5),
+        sfm2gt=jnp.eye(4),
+    )
+
+
+def test_scaled_lr_rule():
+    cfg = get_cfg_defaults()
+    cfg.TRAINER.CANONICAL_LR = 1e-4
+    cfg.TRAINER.CANONICAL_BS = 4096
+    assert scaled_lr(cfg, 4096) == pytest.approx(1e-4)
+    assert scaled_lr(cfg, 8192) == pytest.approx(2e-4)
+    cfg.TRAINER.LR = 3e-4
+    assert scaled_lr(cfg, 123) == pytest.approx(3e-4)
+
+
+def test_loss_masked_rays_do_not_leak():
+    """A masked ray's color error must not change the loss."""
+    cfg = tiny_cfg()
+    lcfg = loss_config_from_cfg(cfg)
+    n = 8
+    results = {
+        "color": jnp.zeros((n, 3)),
+        "gradient_error": jnp.asarray(0.5),
+        "ray_mask": jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32),
+        "mask_error": jnp.zeros((n, 1)),
+        "sfm_depth_sq": jnp.zeros((n,)),
+        "sfm_depth_valid": jnp.zeros((n,)),
+        "floor_normal_error": jnp.zeros((n, 3)),
+        "floor_count": jnp.zeros(()),
+    }
+    rgbs = jnp.ones((n, 3))
+    base = loss_terms(lcfg, results, rgbs)
+    # corrupt masked rays' colors wildly
+    results2 = dict(results, color=results["color"].at[4:].set(100.0))
+    pert = loss_terms(lcfg, results2, rgbs)
+    np.testing.assert_allclose(float(base["loss"]), float(pert["loss"]), rtol=1e-6)
+    # color term: sum |0-1| * 4 rays * 3 ch / 4 = 3.0
+    np.testing.assert_allclose(float(base["color_loss"]), 3.0, rtol=1e-5)
+
+
+def test_ray_mask_from_labels():
+    labels = jnp.asarray([0, 1, 2, 1], jnp.int32)
+    m = ray_mask_from_labels(labels, (1,))
+    np.testing.assert_array_equal(np.asarray(m), [1, 0, 1, 0])
+
+
+def test_train_step_runs_and_descends():
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048, total_steps=0)
+    state = init_state(jax.random.PRNGKey(0), fc, opt)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+
+    batch = make_batch(16)
+    rng = jax.random.PRNGKey(1)
+    sc = scene()
+    losses = []
+    for _ in range(5):
+        state, aux = step(state, sc, batch, rng)
+        losses.append(float(aux["loss"]))
+    assert int(state.step) == 5
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfitting one tiny batch must descend
+
+
+def test_jit_train_step_multidevice():
+    """The pjit'd step over an 8-device data mesh matches single-device."""
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048, total_steps=0)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    jstep = jit_train_step(step, mesh, donate=False)
+
+    batch = make_batch(16)
+    rng = jax.random.PRNGKey(1)
+    sc = scene()
+
+    s0 = init_state(jax.random.PRNGKey(0), fc, opt)
+    s1, aux1 = step(s0, sc, batch, rng)
+    s0b = init_state(jax.random.PRNGKey(0), fc, opt)
+    s2, aux2 = jstep(s0b, sc, batch, rng, None, None)
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-4)
+    # params end up numerically identical paths
+    la = jax.tree.leaves(s1.params)
+    lb = jax.tree.leaves(s2.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_step_with_grids():
+    """Fine + SFM grids attach as dynamic operands (no retrace crash)."""
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048)
+
+    pts = np.random.RandomState(0).randn(64, 3).astype(np.float64) * 0.3
+    grid = grid_from_points(pts, [-1, -1, -1], [1, 1, 1], voxel_size=0.25, expand=0)
+    dgrid = device_grid_from_host(grid)
+    from neuralrecon_w_tpu.rendering import render_config_from_cfg as rc
+
+    rcfg = rc(cfg, sfm_level=grid.level, fine_level=grid.level, nerf_far_override=True)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+    state = init_state(jax.random.PRNGKey(0), fc, opt)
+    state, aux = step(state, scene(), make_batch(8), jax.random.PRNGKey(2),
+                      dgrid, dgrid)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_sharded_sdf_sweep_matches_plain():
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+    pts = np.random.RandomState(0).randn(1000, 3).astype(np.float32) * 0.4
+    plain = sharded_sdf_sweep(params, fc, pts, mesh=None, chunk=128)
+    mesh = make_mesh()
+    sharded = sharded_sdf_sweep(params, fc, pts, mesh=mesh, chunk=128)
+    assert plain.shape == (1000,)
+    np.testing.assert_allclose(plain, sharded, atol=1e-5)
+
+
+def test_surface_level_and_octree_update():
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+
+    scene_config = {
+        "eval_bbx": [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+        "sfm2gt": np.eye(4).tolist(),
+        "origin": [0.0, 0.0, 0.0],
+        "radius": 1.0,
+    }
+    lvl = surface_level(scene_config, train_voxel_size=0.3)
+    assert lvl == 3  # 2*1.0 / 0.3 -> ceil(log2 6.67) = 3
+
+    pts = np.random.RandomState(1).uniform(-0.9, 0.9, (500, 3))
+    sfm_grid = grid_from_points(pts, [-1, -1, -1], [1, 1, 1], voxel_size=0.5, expand=0)
+    host, dev = octree_update(
+        params, fc, sfm_grid, scene_config,
+        scene_origin=np.zeros(3), scene_radius=1.0,
+        train_voxel_size=0.3, sdf_threshold=1.0, chunk=256,
+    )
+    # threshold 1.0 keeps essentially everything near geometric init
+    assert host is not None and host.level == 3 and len(host.coords) > 0
+    assert dev.occ.dtype == jnp.uint32
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from neuralrecon_w_tpu.training import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+    path = save_checkpoint(str(tmp_path / "ck"), 42, params)
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
+    restored = restore_checkpoint(path)
+    assert int(restored["step"]) == 42
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(restored["params"])
+    assert len(a) == len(b)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_psnr_mse():
+    a = jnp.zeros((4, 3))
+    b = jnp.full((4, 3), 0.1)
+    np.testing.assert_allclose(float(mse(a, b)), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
