@@ -1,0 +1,131 @@
+"""Reprojection visibility filtering of reconstructed geometry.
+
+Reference behavior (reference utils/reproj_filter.py:101-300): render the
+predicted mesh (pyrender/EGL) or point cloud (kaolin SPC ray-marcher)
+from every training camera, back-project valid depths, and keep target
+vertices observed from at least one view — removing hallucinated
+geometry never seen by any camera before scoring.
+
+TPU-native redesign: vertices are voxelized into the sparse occupancy
+grid and every camera's pixel rays are marched with the DDA traversal
+kernel (ops/ray_voxel.py) in one batched device call per view; a hit
+pixel contributes the morton code of its first intersected voxel. A
+vertex survives if its voxel code was hit from any view — the voxel-id
+index-set match of the reference's kaolin path
+(reference utils/kaolin_renderer.py:110-141, reproj_filter.py:202-243).
+View-level parallelism is the device batch, not `ray` actors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..datasets.rays import get_ray_directions, get_rays
+from ..ops.morton import points_to_morton
+from ..ops.ray_voxel import DeviceGrid, dda_traverse, device_grid_from_host
+from ..ops.voxel_grid import VoxelGrid, _sort_coords, level_for_voxel_size
+
+
+def voxelize_points(verts: np.ndarray, voxel_size: float) -> VoxelGrid:
+    """Bounding-cube grid over the vertex set at the requested voxel
+    size (reference kaolin_renderer.vertex_table builds the same SPC,
+    utils/kaolin_renderer.py:60-108)."""
+    vmin = verts.min(axis=0)
+    vmax = verts.max(axis=0)
+    origin = (vmin + vmax) / 2
+    scale = float(np.max(vmax - vmin) / 2 * 1.01 + 1e-6)
+    level = max(level_for_voxel_size(scale, voxel_size, "floor"), 1)
+    level = min(level, 10)  # 1024^3 occupancy bitfield cap (128 MB)
+    res = 1 << level
+    cells = np.clip(
+        np.floor(((verts - origin) / scale + 1.0) / 2.0 * res), 0, res - 1
+    ).astype(np.int64)
+    return VoxelGrid(level, origin, scale, _sort_coords(cells, level))
+
+
+def vertex_voxel_codes(grid: VoxelGrid, verts: np.ndarray) -> np.ndarray:
+    res = grid.res
+    cells = np.clip(
+        np.floor(((verts - grid.origin) / grid.scale + 1.0) / 2.0 * res),
+        0, res - 1,
+    ).astype(np.int64)
+    return points_to_morton(cells)
+
+
+def render_hit_codes(
+    dgrid: DeviceGrid,
+    grid: VoxelGrid,
+    K: np.ndarray,
+    c2w: np.ndarray,
+    img_wh: tuple,
+    chunk: int = 262144,
+) -> np.ndarray:
+    """Morton codes of the first voxel hit by each pixel ray of one view.
+
+    Returns the unique hit-code set for the view (device DDA, host
+    quantization of the entry points)."""
+    import jax.numpy as jnp
+
+    w, h = img_wh
+    dirs = get_ray_directions(h, w, K)
+    rays_o, rays_d = get_rays(dirs, c2w)
+
+    res = grid.res
+    cell_w = 2.0 / res
+    codes = []
+    for i in range(0, len(rays_o), chunk):
+        o = (rays_o[i : i + chunk] - grid.origin) / grid.scale
+        d = rays_d[i : i + chunk]
+        t_first, _, hit = dda_traverse(
+            dgrid.occ, grid.level, jnp.asarray(o, jnp.float32),
+            jnp.asarray(d, jnp.float32), first_only=True,
+        )
+        t_first = np.asarray(t_first)
+        hit = np.asarray(hit)
+        if not hit.any():
+            continue
+        pos = o[hit] + d[hit] * (t_first[hit, None] + 1e-5)
+        cells = np.clip(np.floor((pos + 1.0) / cell_w), 0, res - 1).astype(np.int64)
+        codes.append(points_to_morton(cells))
+    if not codes:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(codes))
+
+
+def reprojection_filter(
+    verts: np.ndarray,
+    faces: np.ndarray | None,
+    cameras: list,
+    voxel_size: float,
+    chunk: int = 262144,
+):
+    """Keep vertices observed from >= 1 training view.
+
+    Args:
+        verts: (V, 3) SFM-frame vertices of the mesh/point cloud.
+        faces: optional faces (kept for the output mesh; filtering is
+            vertex-based like the reference's pc mode).
+        cameras: [(K 3x3, c2w 3x4, (w, h))] for every training image.
+        voxel_size: match radius in SFM units (the reference matches by
+            voxel id at the octree's own resolution).
+    Returns (kept_verts, kept_faces, keep_mask).
+    """
+    grid = voxelize_points(verts, voxel_size)
+    dgrid = device_grid_from_host(grid)
+
+    observed = np.zeros(0, np.int64)
+    for K, c2w, wh in cameras:
+        codes = render_hit_codes(dgrid, grid, K, c2w, wh, chunk)
+        observed = np.union1d(observed, codes)
+
+    vcodes = vertex_voxel_codes(grid, verts)
+    keep = np.isin(vcodes, observed)
+
+    kept_verts = verts[keep]
+    kept_faces = None
+    if faces is not None and len(faces):
+        remap = -np.ones(len(verts), np.int64)
+        remap[keep] = np.arange(keep.sum())
+        f = remap[faces]
+        kept_faces = f[(f >= 0).all(axis=1)]
+    return kept_verts, kept_faces, keep

@@ -1,0 +1,205 @@
+"""Mesh extraction + evaluation toolchain tests.
+
+The geometric-init SDF is approximately sphere(0.5) in unit coords, so
+extraction against a fresh model must produce a near-spherical mesh —
+this exercises the full sweep -> scatter -> marching -> rescale chain
+without any training."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from neuralrecon_w_tpu.config import get_cfg_defaults
+from neuralrecon_w_tpu.evaluation import (
+    bbx_crop,
+    compute_prf,
+    eval_mesh,
+    eval_mesh_arrays,
+    nn_distances,
+    reprojection_filter,
+    sample_mesh_surface,
+    voxel_point_crop,
+)
+from neuralrecon_w_tpu.extraction import (
+    dense_eval_grid,
+    extract_mesh,
+    save_mesh_ply,
+    sparse_eval_grid,
+)
+from neuralrecon_w_tpu.models import field_config_from_cfg, init_field
+from neuralrecon_w_tpu.utils.ply import read_ply, write_ply
+
+
+def small_model():
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.N_VOCAB = 8
+    n.SDF_CONFIG.d_hidden = 64
+    n.SDF_CONFIG.d_out = 65
+    n.SDF_CONFIG.n_layers = 4
+    n.SDF_CONFIG.skip_in = (2,)
+    n.COLOR_CONFIG.d_feature = 64
+    n.COLOR_CONFIG.d_hidden = 32
+    n.COLOR_CONFIG.n_layers = 2
+    n.COLOR_CONFIG.head_channels = 16
+    fc = field_config_from_cfg(cfg)
+    return fc, init_field(jax.random.PRNGKey(0), fc)
+
+
+SCENE_ORIGIN = np.array([1.0, -2.0, 0.5])
+SCENE_RADIUS = 2.0
+
+
+def sphere_samples(n=2000, r=0.5 * SCENE_RADIUS, seed=1):
+    rs = np.random.RandomState(seed)
+    v = rs.randn(n, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return SCENE_ORIGIN + v * r
+
+
+def test_dense_extraction_lies_on_zero_set():
+    """Extracted vertices must sit on the field's zero level set — the
+    invariant that tests sweep->scatter->marching->rescale end to end
+    regardless of how spherical the toy init happens to be."""
+    from neuralrecon_w_tpu.models import field_sdf
+    import jax.numpy as jnp
+
+    fc, params = small_model()
+    grid = dense_eval_grid(SCENE_ORIGIN, SCENE_RADIUS, dim=48)
+    mesh = extract_mesh(params, fc, grid, SCENE_ORIGIN, SCENE_RADIUS, chunk=8192)
+    assert mesh is not None and len(mesh.verts) > 100
+    verts_unit = (mesh.verts - SCENE_ORIGIN) / SCENE_RADIUS
+    sdf = np.asarray(field_sdf(params, fc, jnp.asarray(verts_unit, jnp.float32)))
+    voxel_unit = grid.voxel_size / SCENE_RADIUS
+    assert float(np.median(np.abs(sdf))) < voxel_unit, (
+        np.median(np.abs(sdf)), voxel_unit)
+    # blob roughly around the init sphere
+    r = np.linalg.norm(verts_unit, axis=-1)
+    assert 0.3 < float(np.median(r)) < 0.9
+    # and the whole blob-vs-sphere comparison at a generous threshold
+    m = eval_mesh_arrays(
+        sample_mesh_surface(mesh.verts, mesh.faces, 3000), sphere_samples(),
+        threshold=0.6,
+    )
+    assert m["fscore"] > 0.9, m
+
+
+def test_sparse_extraction_and_ply_roundtrip(tmp_path):
+    fc, params = small_model()
+    # SFM points on the init-sphere surface so the sparse grid covers it
+    pts = sphere_samples(800, seed=2)
+    from neuralrecon_w_tpu.datasets.colmap import Point3D
+
+    pts3d = {
+        i + 1: Point3D(i + 1, pts[i], np.zeros(3, np.uint8), 0.5,
+                       np.arange(5, dtype=np.int32), np.arange(5, dtype=np.int32))
+        for i in range(len(pts))
+    }
+    scene_config = {
+        "eval_bbx": [(SCENE_ORIGIN - 1.5).tolist(), (SCENE_ORIGIN + 1.5).tolist()],
+        "sfm2gt": np.eye(4).tolist(),
+        "min_track_length": 2,
+        "voxel_size": 0.25,
+    }
+    grid = sparse_eval_grid(scene_config, pts3d, eval_level=5)
+    assert grid.indices is not None and len(grid.points_sfm) > 0
+
+    mesh = extract_mesh(params, fc, grid, SCENE_ORIGIN, SCENE_RADIUS,
+                        chunk=8192, with_color=True, a_index=1)
+    assert mesh is not None and mesh.colors is not None
+    assert mesh.colors.shape == (len(mesh.verts), 3)
+
+    path = str(tmp_path / "mesh.ply")
+    save_mesh_ply(mesh, path)
+    back = read_ply(path)
+    assert len(back["verts"]) == len(mesh.verts)
+    assert len(back["faces"]) == len(mesh.faces)
+    np.testing.assert_allclose(back["verts"], mesh.verts, atol=1e-4)
+
+    # sparse extraction vertices also sit on the zero set
+    from neuralrecon_w_tpu.models import field_sdf
+    import jax.numpy as jnp
+
+    verts_unit = (mesh.verts - SCENE_ORIGIN) / SCENE_RADIUS
+    sdf = np.asarray(field_sdf(params, fc, jnp.asarray(verts_unit, jnp.float32)))
+    assert float(np.median(np.abs(sdf))) < grid.voxel_size / SCENE_RADIUS
+
+
+def test_nn_distances_and_prf():
+    a = np.array([[0, 0, 0], [1, 0, 0]], float)
+    b = np.array([[0, 0, 0.1], [1, 0, 0], [5, 5, 5]], float)
+    idx, d = nn_distances(b, a)
+    np.testing.assert_allclose(d[:2], [0.1, 0.0], atol=1e-9)
+    m = compute_prf(
+        dist_gt_to_pred=np.array([0.01, 0.2]), dist_pred_to_gt=np.array([0.05, 0.5]),
+        threshold=0.1,
+    )
+    assert m["prec"] == pytest.approx(0.5)
+    assert m["recal"] == pytest.approx(0.5)
+    assert m["fscore"] == pytest.approx(0.5)
+
+
+def test_bbx_and_voxel_crop():
+    pts = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9], [5, 5, 5]], float)
+    kept = bbx_crop(pts, [[-1, -1, -1], [1, 1, 1]])
+    assert len(kept) == 2
+    vox = np.array([[0.1, 0.1, 0.1]])
+    kept2 = voxel_point_crop(pts[:2], vox, 0.3, [[-1, -1, -1], [1, 1, 1]])
+    assert len(kept2) == 1 and np.allclose(kept2[0], pts[0])
+
+
+def test_eval_mesh_file_flow(tmp_path):
+    """Full file-based eval: identical sphere meshes -> F ~ 1."""
+    from neuralrecon_w_tpu.ops.isosurface import marching_tetrahedra
+
+    # analytic sphere SDF grid
+    dim = 32
+    ax = np.linspace(-1, 1, dim)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.6
+    verts, faces = marching_tetrahedra(sdf)
+    verts = verts * (2.0 / (dim - 1)) - 1.0
+
+    pred = str(tmp_path / "pred.ply")
+    gt = str(tmp_path / "gt.ply")
+    write_ply(pred, verts, faces=faces)
+    write_ply(gt, verts + np.random.RandomState(0).randn(*verts.shape) * 0.002)
+
+    scene_config = {
+        "eval_bbx": [[-1, -1, -1], [1, 1, 1]],
+        "sfm2gt": np.eye(4).tolist(),
+    }
+    res = eval_mesh(pred, gt, scene_config, is_mesh=True,
+                    threshold=[0.05, 0.1], save_name="t",
+                    write_visualizations=True)
+    assert res["fscores"][0] > 0.99
+    assert os.path.exists(tmp_path / "eval_t" / "metrics.json")
+    assert os.path.exists(tmp_path / "eval_t" / "visualize" / "0.05" / "metrics.json")
+
+
+def test_reprojection_filter_removes_hidden_points():
+    """Surface points of a sphere seen by a camera ring survive; the
+    occluded center voxel is filtered."""
+    surf = sphere_samples(600, r=1.0, seed=3) - SCENE_ORIGIN  # sphere at origin
+    hidden = np.zeros((5, 3))  # center points, always occluded
+    verts = np.concatenate([surf, hidden])
+
+    cameras = []
+    K = np.array([[40.0, 0, 24], [0, 40.0, 18], [0, 0, 1]])
+    for ang in np.linspace(0, 2 * np.pi, 6, endpoint=False):
+        eye = np.array([np.cos(ang) * 4, np.sin(ang) * 4, 0.0])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        down = np.cross(fwd, right)
+        # c2w with right-up-back convention (x right, y up, z backward)
+        c2w = np.stack([right, -down, -fwd], axis=1)
+        c2w = np.concatenate([c2w, eye[:, None]], axis=1)
+        cameras.append((K, c2w, (48, 36)))
+
+    kept, _, mask = reprojection_filter(verts, None, cameras, voxel_size=0.15)
+    frac_surf = mask[: len(surf)].mean()
+    assert frac_surf > 0.6, frac_surf
+    assert not mask[len(surf):].any(), "occluded center points must be filtered"
