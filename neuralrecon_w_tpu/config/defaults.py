@@ -96,7 +96,7 @@ _CN.DATASET.SPLIT = "train"
 _CN.DATASET.PHOTOTOURISM = CN()
 _CN.DATASET.PHOTOTOURISM.IMG_DOWNSCALE = 1
 _CN.DATASET.PHOTOTOURISM.USE_CACHE = True
-_CN.DATASET.PHOTOTOURISM.CACHE_DIR = "cache"
+_CN.DATASET.PHOTOTOURISM.CACHE_DIR = "cache_sgs"
 _CN.DATASET.PHOTOTOURISM.CACHE_TYPE = "npz"
 _CN.DATASET.PHOTOTOURISM.SEMANTIC_MAP_PATH = "semantic_maps"
 _CN.DATASET.PHOTOTOURISM.WITH_SEMANTICS = True
@@ -137,6 +137,9 @@ _CN.TPU.MESH_DATA = -1  # -1 => all devices on the data axis
 _CN.TPU.MESH_MODEL = 1
 _CN.TPU.BF16_COLOR = False  # evaluate color/background nets in bfloat16
 _CN.TPU.DONATE_STATE = True
+# "auto" (on when running on TPU) | True | False — fused Pallas SDF MLP
+# for the sampler's gradient-free evals (ops/pallas_mlp.py)
+_CN.TPU.FUSED_SAMPLER_SDF = "auto"
 
 
 def get_cfg_defaults():

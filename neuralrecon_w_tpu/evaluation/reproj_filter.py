@@ -92,6 +92,37 @@ def render_hit_codes(
     return np.unique(np.concatenate(codes))
 
 
+def voxel_depth_map(
+    dgrid: DeviceGrid,
+    grid: VoxelGrid,
+    K: np.ndarray,
+    c2w: np.ndarray,
+    img_wh: tuple,
+    chunk: int = 262144,
+) -> np.ndarray:
+    """Per-pixel first-hit depth (SFM units; 0 = miss) for one view —
+    the depth-raster product of the reference's kaolin/pyrender
+    renderers (reference utils/kaolin_renderer.py:110-141,
+    utils/pyrender_renderer.py:4-39)."""
+    import jax.numpy as jnp
+
+    w, h = img_wh
+    dirs = get_ray_directions(h, w, K)
+    rays_o, rays_d = get_rays(dirs, c2w)
+    depth = np.zeros(len(rays_o), np.float32)
+    for i in range(0, len(rays_o), chunk):
+        o = (rays_o[i : i + chunk] - grid.origin) / grid.scale
+        d = rays_d[i : i + chunk]
+        t_first, _, hit = dda_traverse(
+            dgrid.occ, grid.level, jnp.asarray(o, jnp.float32),
+            jnp.asarray(d, jnp.float32), first_only=True,
+        )
+        depth[i : i + chunk] = np.where(
+            np.asarray(hit), np.asarray(t_first) * grid.scale, 0.0
+        )
+    return depth.reshape(h, w)
+
+
 def reprojection_filter(
     verts: np.ndarray,
     faces: np.ndarray | None,

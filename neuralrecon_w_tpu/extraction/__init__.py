@@ -1,5 +1,6 @@
 from .mesh import (
     MeshData,
+    box_eval_grid,
     dense_eval_grid,
     extract_mesh,
     save_mesh_ply,
@@ -7,6 +8,6 @@ from .mesh import (
 )
 
 __all__ = [
-    "MeshData", "dense_eval_grid", "extract_mesh", "save_mesh_ply",
-    "sparse_eval_grid",
+    "MeshData", "box_eval_grid", "dense_eval_grid", "extract_mesh",
+    "save_mesh_ply", "sparse_eval_grid",
 ]

@@ -60,6 +60,17 @@ def dense_eval_grid(scene_origin, radius: float, dim: int) -> EvalGrid:
     return EvalGrid(pts, None, dim, o - radius, voxel_size)
 
 
+def box_eval_grid(bbx, dim: int) -> EvalGrid:
+    """Dense cubic lattice covering an axis-aligned box (max-extent cube
+    about the box center) — the validation-time detail extraction region
+    (reference neuconw_system.py:466-513, eval_bbx_detail at dim 256)."""
+    lo = np.asarray(bbx[0], np.float64)
+    hi = np.asarray(bbx[1], np.float64)
+    center = (lo + hi) / 2
+    half = float(np.max(hi - lo) / 2)
+    return dense_eval_grid(center, half, dim)
+
+
 def sparse_eval_grid(scene_config: dict, points3d: dict, eval_level: int) -> EvalGrid:
     """SFM voxel grid densified to eval_level
     (reference gen_grid_spc, tools/extract_mesh.py:60-102)."""
@@ -109,7 +120,13 @@ def extract_mesh(
         mask = np.zeros((grid.dim, grid.dim, grid.dim), bool)
         mask[ind[:, 0], ind[:, 1], ind[:, 2]] = True
 
-    verts_grid, faces = marching_tetrahedra(field, level=0.0, mask=mask)
+    from ..ops.native import marching_tetrahedra_native
+
+    native = marching_tetrahedra_native(field, level=0.0, mask=mask)
+    if native is not None:
+        verts_grid, faces = native
+    else:
+        verts_grid, faces = marching_tetrahedra(field, level=0.0, mask=mask)
     if len(verts_grid) == 0:
         return None
 

@@ -144,8 +144,20 @@ def grid_from_points(
     dim = np.max(bbx_max - bbx_min)
     origin = bbx_min + (bbx_max - bbx_min) / 2.0
     scale = float(dim / 2.0 * radius)
+    level = level_for_voxel_size(scale, voxel_size, "floor")
 
     pts = np.asarray(points, dtype=np.float64)
+
+    # native fast path: hash-set dilation+quantization (csrc/geometry.cpp)
+    # — identical cell set, without materializing 27^expand point copies
+    from .native import expand_quantize
+    from .morton import morton_to_points
+
+    codes = expand_quantize(pts, origin, scale, voxel_size, level, int(expand))
+    if codes is not None:
+        return VoxelGrid(level, origin, scale,
+                         morton_to_points(codes).astype(np.int32))
+
     for _ in range(int(expand)):
         pts = expand_points(pts, voxel_size)
 
@@ -153,7 +165,6 @@ def grid_from_points(
     mask = np.all(normalized > -1.0, axis=-1) & np.all(normalized < 1.0, axis=-1)
     normalized = normalized[mask]
 
-    level = level_for_voxel_size(scale, voxel_size, "floor")
     res = 1 << level
     cells = np.clip(np.floor((normalized + 1.0) / 2.0 * res), 0, res - 1).astype(np.int64)
     return VoxelGrid(level, origin, scale, _sort_coords(cells, level))

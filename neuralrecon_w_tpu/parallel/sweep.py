@@ -75,6 +75,12 @@ def _sdf_eval(fc, params, b):
     return field_sdf(params, fc, b)[:, None]
 
 
+def _sdf_eval_fused(fc, params, b):
+    from ..ops.pallas_mlp import fused_field_sdf
+
+    return fused_field_sdf(params, fc, b)[:, None]
+
+
 def _rgb_eval(fc, params, p, d, e):
     return field_rgb(params, fc, p, d, e)
 
@@ -88,14 +94,19 @@ def _cached_partial(base, fc):
 
 def sharded_sdf_sweep(
     params, fc: FieldConfig, pts: np.ndarray, mesh: Mesh | None = None,
-    chunk: int = 65536,
+    chunk: int = 65536, use_fused: bool | None = None,
 ) -> np.ndarray:
     """SDF at every point, any count; returns host float32 (N,).
 
     chunk matches the reference's 65536-point sweeps
-    (reference neuconw_system.py:186,245).
+    (reference neuconw_system.py:186,245). On TPU the per-chunk eval
+    routes through the fused Pallas MLP kernel by default.
     """
-    fn = _cached_partial(_sdf_eval, fc)
+    if use_fused is None:
+        from ..ops.pallas_mlp import on_tpu, supports_fused
+
+        use_fused = on_tpu() and supports_fused(fc)
+    fn = _cached_partial(_sdf_eval_fused if use_fused else _sdf_eval, fc)
     out = _sweep(fn, params, mesh, chunk, np.asarray(pts, np.float32))
     return out[:, 0]
 

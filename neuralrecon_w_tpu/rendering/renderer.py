@@ -52,6 +52,9 @@ class RenderConfig(NamedTuple):
     sfm_level: int = -1  # SFM octree for near/far override (validation)
     fine_level: int = -1  # online SDF-surface grid (training after warmup)
     nerf_far_override: bool = False
+    # route the sampler's gradient-free SDF evals through the fused
+    # Pallas VMEM-resident MLP kernel (ops/pallas_mlp.py); TPU only
+    fused_sampler_sdf: bool = False
 
 
 class SceneInfo(NamedTuple):
@@ -65,6 +68,12 @@ class SceneInfo(NamedTuple):
 def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=None, perturb=None):
     n = cfg.NEUCONW
     from ..datasets.mask_utils import get_label_id_mapping
+
+    fused = getattr(cfg.TPU, "FUSED_SAMPLER_SDF", "auto")
+    if fused == "auto":
+        from ..ops.pallas_mlp import on_tpu
+
+        fused = on_tpu()
 
     lid = get_label_id_mapping()
     mesh_ids = tuple(lid[x] for x in n.MESH_MASK_LIST) if n.MESH_MASK_LIST else None
@@ -88,6 +97,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         nerf_far_override=bool(
             n.NEAR_FAR_OVERRIDE if nerf_far_override is None else nerf_far_override
         ),
+        fused_sampler_sdf=bool(fused),
     )
 
 
@@ -171,7 +181,12 @@ def sparse_sampler(
 
     # iterative SDF importance sampling (fixed inv_s schedule)
     if rcfg.n_importance > 0:
-        sdf_fn = lambda pts: field_sdf(params, fc, pts)
+        if rcfg.fused_sampler_sdf:
+            from ..ops.pallas_mlp import fused_field_sdf
+
+            sdf_fn = lambda pts: fused_field_sdf(params, fc, pts)
+        else:
+            sdf_fn = lambda pts: field_sdf(params, fc, pts)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         sdf = sdf_fn(pts)
         n_per_step = rcfg.n_importance // rcfg.up_sample_steps

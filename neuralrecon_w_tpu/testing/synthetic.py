@@ -110,16 +110,16 @@ def make_synthetic_scene(
             [np.cos(ang) * cam_dist, np.sin(ang) * cam_dist, 0.6 + 0.2 * np.sin(3 * ang)]
         )
         R, t = _look_at(eye, np.zeros(3))
-        img, _, _ = _render_sphere_image(K, R, t, w, h, sphere_radius)
+        img, _, hit = _render_sphere_image(K, R, t, w, h, sphere_radius)
         name = f"img_{idx:03d}.jpg"
         names.append(name)
         PILImage.fromarray(img).save(
             os.path.join(root_dir, "dense/images", name), quality=95
         )
         if with_semantics:
-            # label 0 everywhere except a strip of "sky" (ADE20K id 2) on top
-            sem = np.zeros((h, w), np.int16)
-            sem[: h // 6] = 2
+            # pixels that miss the sphere are "sky" (ADE20K id 2) — like
+            # real semantic maps, so the mask BCE carves empty space
+            sem = np.where(hit, 0, 2).astype(np.int16)
             np.savez_compressed(
                 os.path.join(root_dir, "semantic_maps", f"img_{idx:03d}.npz"), sem
             )

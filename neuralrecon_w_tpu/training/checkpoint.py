@@ -57,6 +57,7 @@ def save_checkpoint(
 
 def restore_checkpoint(path: str, template: Any | None = None) -> dict:
     """Restore the full tree; with a template, dtypes/shapes are enforced."""
+    path = os.path.abspath(path)  # orbax requires absolute paths
     restored = _checkpointer().restore(path, item=template)
     grid_path = os.path.join(path, "fine_grid.npz")
     if os.path.exists(grid_path):
@@ -83,7 +84,7 @@ def load_params_subtree(path: str, prefixes: tuple[str, ...] = ()) -> Any:
     """Load only the named top-level parameter groups, e.g.
     ('neuconw', 'embedding_a') — the prefix surgery offline tools use
     (reference utils/__init__.py:64-99)."""
-    params = _checkpointer().restore(path)["params"]
+    params = _checkpointer().restore(os.path.abspath(path))["params"]
     if not prefixes:
         return params
     return {k: v for k, v in params.items() if k in prefixes}
