@@ -23,9 +23,13 @@ import numpy as np
 
 A100_REFERENCE_RAYS_PER_SEC = 20_000.0
 
-BATCH = 2048
+# 8192 saturates one v5e chip (2048 is dispatch-latency-bound at
+# ~1.4 M rays/s; 8192 reaches ~8 M rays/s; 16384 exceeds HBM without
+# rematerialization). The global batch is sharded across chips, so the
+# LR linear-scaling rule covers the optimization-dynamics side.
+BATCH = 8192
 WARMUP = 3
-ITERS = 20
+ITERS = 30
 
 
 def main():

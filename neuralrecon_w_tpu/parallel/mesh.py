@@ -49,6 +49,37 @@ def shard_rays(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def field_param_specs(mesh: Mesh, params) -> dict:
+    """Tensor-parallel PartitionSpecs for the field parameter pytree.
+
+    Megatron-style column sharding of every linear's output dim over the
+    ``model`` axis (weight-norm g/b shard with it), and vocab sharding of
+    the appearance table — XLA inserts the psum/all-gathers implied by
+    the annotations. Dims not divisible by the model-axis size stay
+    replicated (the flagship dims 512/513/5000 need no padding for the
+    common 2/4/8-way meshes only when divisible; we check per leaf).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def spec_for(path, leaf):
+        if n_model == 1:
+            return P()
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        shape = leaf.shape
+        if "embedding_a" in names:
+            return P(MODEL_AXIS) if shape[0] % n_model == 0 else P()
+        last = names[-1] if names else ""
+        if last in ("v", "w") and len(shape) == 2 and shape[1] % n_model == 0:
+            return P(None, MODEL_AXIS)
+        if last in ("g", "b") and len(shape) == 1 and shape[0] % n_model == 0:
+            return P(MODEL_AXIS)
+        return P()
+
+    import jax
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 

@@ -106,22 +106,54 @@ def make_train_step(
     return step_fn
 
 
-def jit_train_step(step_fn, mesh, donate: bool = True):
-    """Jit with mesh shardings: batch sharded on ``data``, state replicated.
+def jit_train_step(step_fn, mesh, donate: bool = True, param_specs=None):
+    """Jit with mesh shardings: batch sharded on ``data``, params either
+    replicated (pure DP) or tensor-sharded over ``model`` when
+    param_specs (a PartitionSpec pytree from parallel.field_param_specs)
+    is given.
 
-    XLA turns the replicated-output requirement on grads into an ICI
-    all-reduce — the entire distributed runtime of the reference
-    (NCCL DDP) is these two annotation lines.
+    XLA turns the sharding annotations into the ICI collectives — the
+    entire distributed runtime of the reference (NCCL DDP) is these
+    annotation lines.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     batch_shard = {"rays": data, "ts": data, "labels": data, "rgbs": data}
+    if param_specs is None:
+        state_shard = repl
+    else:
+        to_shard = lambda tree: jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec), tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        try:
+            opt_shard = to_shard(_adam_state_specs(param_specs))
+        except Exception:  # non-canonical optimizer chain: replicate
+            opt_shard = repl
+        # TrainState(params, opt_state, step): adam moments mirror params
+        state_shard = TrainState(to_shard(param_specs), opt_shard, repl)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, batch_shard, repl, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shard, repl, batch_shard, repl, repl, repl),
+        out_shardings=(state_shard, repl),
         donate_argnums=(0,) if donate else (),
         static_argnames=(),
+    )
+
+
+def _adam_state_specs(param_specs):
+    """optax chain(clip, adam) state: (EmptyState, (ScaleByAdamState(count,
+    mu, nu), EmptyState)) — mirror the param specs onto mu/nu."""
+    import optax
+
+    return (
+        optax.EmptyState(),
+        (
+            optax.ScaleByAdamState(
+                count=P(), mu=param_specs, nu=param_specs
+            ),
+            optax.EmptyState(),
+        ),
     )
 
 

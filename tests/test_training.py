@@ -167,6 +167,48 @@ def test_jit_train_step_multidevice():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tensor_parallel_matches_data_parallel():
+    """A (4 data x 2 model) mesh with Megatron-style param sharding must
+    produce the same loss and updated params as pure data parallel."""
+    from neuralrecon_w_tpu.parallel.mesh import field_param_specs
+    from neuralrecon_w_tpu.parallel import shard_rays
+
+    cfg = tiny_cfg()
+    # tensor-sharded dims must divide the model axis (2)
+    cfg.NEUCONW.SDF_CONFIG.d_out = 66
+    cfg.NEUCONW.COLOR_CONFIG.d_feature = 65
+    fc = field_config_from_cfg(cfg)
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+    batch = make_batch(16)
+    rng = jax.random.PRNGKey(1)
+    sc = scene()
+
+    mesh_tp = make_mesh(n_model=2)
+    s0 = init_state(jax.random.PRNGKey(0), fc, opt)
+    specs = field_param_specs(mesh_tp, s0.params)
+    # at least the hidden-layer weights must actually shard
+    from jax.sharding import PartitionSpec as P
+
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    n_sharded = sum(1 for s in spec_leaves if isinstance(s, P) and s != P())
+    assert n_sharded > 4, specs
+    j_tp = jit_train_step(step, mesh_tp, donate=False, param_specs=specs)
+    s_tp, aux_tp = j_tp(s0, sc, shard_rays(mesh_tp, batch), rng, None, None)
+
+    mesh_dp = make_mesh()
+    s0b = init_state(jax.random.PRNGKey(0), fc, opt)
+    j_dp = jit_train_step(step, mesh_dp, donate=False)
+    s_dp, aux_dp = j_dp(s0b, sc, shard_rays(mesh_dp, batch), rng, None, None)
+
+    np.testing.assert_allclose(float(aux_tp["loss"]), float(aux_dp["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_tp.params), jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_train_step_with_grids():
     """Fine + SFM grids attach as dynamic operands (no retrace crash)."""
     cfg = tiny_cfg()
