@@ -140,6 +140,10 @@ _CN.TPU.DONATE_STATE = True
 # "auto" (on when running on TPU) | True | False — fused Pallas SDF MLP
 # for the sampler's gradient-free evals (ops/pallas_mlp.py)
 _CN.TPU.FUSED_SAMPLER_SDF = "auto"
+# "auto" (on when running on TPU) | True | False — rematerialize field
+# activations in backward; on v5e this is also faster at batch 8192
+# (9.7 vs 8.1 M rays/s: HBM traffic saved beats the recompute FLOPs)
+_CN.TPU.REMAT_FIELD = "auto"
 
 
 def get_cfg_defaults():

@@ -55,6 +55,10 @@ class RenderConfig(NamedTuple):
     # route the sampler's gradient-free SDF evals through the fused
     # Pallas VMEM-resident MLP kernel (ops/pallas_mlp.py); TPU only
     fused_sampler_sdf: bool = False
+    # rematerialize the field evaluation in the backward pass (trades
+    # ~1/3 more FLOPs for activation memory — unlocks ray batches past
+    # the HBM ceiling)
+    remat_field: bool = False
 
 
 class SceneInfo(NamedTuple):
@@ -70,10 +74,13 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
     from ..datasets.mask_utils import get_label_id_mapping
 
     fused = getattr(cfg.TPU, "FUSED_SAMPLER_SDF", "auto")
-    if fused == "auto":
+    remat = getattr(cfg.TPU, "REMAT_FIELD", "auto")
+    if fused == "auto" or remat == "auto":
         from ..ops.pallas_mlp import on_tpu
 
-        fused = on_tpu()
+        tpu = on_tpu()
+        fused = tpu if fused == "auto" else fused
+        remat = tpu if remat == "auto" else remat
 
     lid = get_label_id_mapping()
     mesh_ids = tuple(lid[x] for x in n.MESH_MASK_LIST) if n.MESH_MASK_LIST else None
@@ -98,6 +105,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
             n.NEAR_FAR_OVERRIDE if nerf_far_override is None else nerf_far_override
         ),
         fused_sampler_sdf=bool(fused),
+        remat_field=bool(remat),
     )
 
 
@@ -279,7 +287,10 @@ def render_core(
         a_embedded[:, None, :], (batch, n, a_embedded.shape[-1])
     ).reshape(batch * n, -1)
 
-    rgb_flat, inv_s, sdf_flat, grad_flat = field_forward(
+    fwd = field_forward
+    if rcfg.remat_field:
+        fwd = jax.checkpoint(field_forward, static_argnums=(1,))
+    rgb_flat, inv_s, sdf_flat, grad_flat = fwd(
         params, fc, pts_flat, dirs_flat, a_exp
     )
     rgb = rgb_flat.reshape(batch, n, 3)

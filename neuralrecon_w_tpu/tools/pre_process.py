@@ -102,7 +102,9 @@ def gen_split(src: str, split: str, img_dir: str) -> list:
 def convert(src: str, dest: str, split: str = "none",
             colmap_dir: str = "sparse/0", img_dir: str = "images") -> list:
     group_list = gen_split(src, split, img_dir)
-    undistort_path = os.path.join(dest, "_undistorted")
+    # hidden scratch dir: shell globs over <dest>/*/ must only see the
+    # generated workspaces
+    undistort_path = os.path.join(dest, ".undistorted")
     undistort(src, colmap_dir, img_dir, undistort_path)
 
     pts3d = read_points3d_binary(
@@ -136,6 +138,7 @@ def convert(src: str, dest: str, split: str = "none",
                 new = f"{group_name}_{name}" if group_name else name
                 shutil.copy(full, os.path.join(dest_images, new))
         out_dirs.append(group_path)
+    shutil.rmtree(undistort_path, ignore_errors=True)
     return out_dirs
 
 

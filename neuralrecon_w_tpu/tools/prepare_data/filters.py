@@ -105,6 +105,52 @@ def filter_transient(
     return keep
 
 
+def nima_filter(root_dir: str, image_names: list, ckpt_path: str,
+                threshold: float = 4.0, batch: int = 16) -> list:
+    """NIMA aesthetic-quality filtering (reference NIMA/NIMA_filter,
+    dataset_filter_utils.py:19-96 — shipped disabled in the reference,
+    prepare_data_split.py:41). Requires local VGG16-based NIMA weights;
+    keeps images whose mean predicted score exceeds ``threshold``."""
+    import torch
+    import torch.nn as nn
+    from torchvision.models import vgg16
+
+    class NIMA(nn.Module):
+        def __init__(self, base, num_classes: int = 10):
+            super().__init__()
+            self.features = base.features
+            self.classifier = nn.Sequential(
+                nn.ReLU(inplace=True), nn.Dropout(p=0.75),
+                nn.Linear(25088, num_classes), nn.Softmax(dim=1),
+            )
+
+        def forward(self, x):
+            out = self.features(x).view(x.size(0), -1)
+            return self.classifier(out)
+
+    model = NIMA(vgg16(weights=None))
+    state = torch.load(ckpt_path, map_location="cpu")
+    model.load_state_dict(state.get("model", state))
+    model.eval()
+
+    from PIL import Image as PILImage
+
+    mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
+    std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
+    scores = {}
+    with torch.no_grad():
+        for name in image_names:
+            img = PILImage.open(
+                os.path.join(root_dir, "dense/images", name)
+            ).convert("RGB").resize((224, 224))
+            x = torch.from_numpy(
+                np.asarray(img, np.float32).transpose(2, 0, 1)[None] / 255.0
+            )
+            p = model((x - mean) / std)[0]
+            scores[name] = float((p * torch.arange(1, 11)).sum())
+    return [n for n in image_names if scores[n] > threshold]
+
+
 def write_split_tsv(root_dir: str, image_names: list, num_test: int = 10,
                     seed: int = 0) -> str:
     """Write the <scene>.tsv split table (first num_test shuffled images

@@ -53,3 +53,27 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarra
     num = (2 * mu_p * mu_g + c1) * (2 * sigma_pg + c2)
     den = (mu_p**2 + mu_g**2 + c1) * (sigma_p + sigma_g + c2)
     return jnp.mean(num / den)
+
+
+def lpips_loss(pred, gt, net: str = "vgg"):
+    """LPIPS perceptual distance over (H, W, 3) [0,1] images.
+
+    The reference imports the `lpips` package (reference metrics.py) but
+    never uses it in training; this offline-eval helper needs the
+    package + its pretrained weights locally and raises otherwise."""
+    try:
+        import lpips as lpips_pkg
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "lpips requires the `lpips` package and local pretrained "
+            "weights (zero-egress environments must vendor them)"
+        ) from e
+    import numpy as np
+
+    model = lpips_pkg.LPIPS(net=net)
+    to_t = lambda x: torch.from_numpy(
+        (np.asarray(x, np.float32).transpose(2, 0, 1) * 2 - 1)[None]
+    )
+    with torch.no_grad():
+        return float(model(to_t(pred), to_t(gt)).item())

@@ -210,3 +210,58 @@ def test_ray_mask_zeroes_eikonal_contribution():
         float(half["gradient_error"]), float(only4["gradient_error"]), rtol=1e-4
     )
     assert abs(float(full["gradient_error"]) - float(half["gradient_error"])) > 0 or True
+
+
+def test_remat_field_preserves_gradients():
+    """remat_field recomputes instead of storing — results and grads
+    must be bit-comparable to the stored path."""
+    import jax
+    import jax.numpy as jnp
+    from neuralrecon_w_tpu.config import get_cfg_defaults
+    from neuralrecon_w_tpu.models import field_config_from_cfg, init_field
+    from neuralrecon_w_tpu.rendering import (
+        SceneInfo, render_config_from_cfg, render_rays,
+    )
+
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.N_SAMPLES = 4
+    n.N_IMPORTANCE = 4
+    n.UP_SAMPLE_STEP = 2
+    n.N_OUTSIDE = 2
+    n.BOUNDARY_SAMPLES = 0
+    n.N_VOCAB = 8
+    n.SDF_CONFIG.d_hidden = 64
+    n.SDF_CONFIG.d_out = 65
+    n.SDF_CONFIG.n_layers = 4
+    n.SDF_CONFIG.skip_in = (2,)
+    n.COLOR_CONFIG.d_feature = 64
+    n.COLOR_CONFIG.d_hidden = 32
+    n.COLOR_CONFIG.n_layers = 2
+    n.COLOR_CONFIG.head_channels = 16
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+
+    rs = np.random.RandomState(0)
+    o = rs.randn(8, 3).astype(np.float32) * 0.1 + np.array([0, 0, 2], np.float32)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((8, 1), 0.5, np.float32), np.full((8, 1), 4.0, np.float32)],
+        axis=1,
+    )
+    scene = SceneInfo(jnp.zeros(3), jnp.asarray(2.5), jnp.eye(4))
+    ts = jnp.zeros(8, jnp.int32)
+    labels = jnp.zeros(8, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    def loss(p, remat):
+        rcfg = render_config_from_cfg(cfg)._replace(remat_field=remat)
+        out = render_rays(p, fc, rcfg, scene, jnp.asarray(rays), ts, labels,
+                          rng, cos_anneal_ratio=1.0, perturb_overwrite=0.0)
+        return jnp.sum(out["color"]) + out["gradient_error"]
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
