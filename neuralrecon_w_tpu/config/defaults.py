@@ -140,6 +140,13 @@ _CN.TPU.DONATE_STATE = True
 # "auto" (on when running on TPU) | True | False — fused Pallas SDF MLP
 # for the sampler's gradient-free evals (ops/pallas_mlp.py)
 _CN.TPU.FUSED_SAMPLER_SDF = "auto"
+# "auto" (on when running on TPU) | True | False — keep the whole ray
+# pool in HBM and gather batches on device (with-replacement sampling;
+# removes the per-step host->device copy)
+_CN.TPU.DEVICE_POOL = "auto"
+# steps fused per dispatch via lax.scan when the device pool is active
+# (single data shard); amortizes host dispatch latency
+_CN.TPU.SCAN_INNER = 50
 # "auto" (on when running on TPU) | True | False — rematerialize field
 # activations in backward; on v5e this is also faster at batch 8192
 # (9.7 vs 8.1 M rays/s: HBM traffic saved beats the recompute FLOPs)

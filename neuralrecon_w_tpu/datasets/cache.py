@@ -175,3 +175,92 @@ class RayPool:
             "labels": self.labels[idx],
             "rgbs": self.rgbs[idx],
         }
+
+
+class DeviceRayPool:
+    """HBM-resident ray pool: the whole shard lives on device and every
+    batch is an on-device RNG gather — zero host involvement per step
+    (the torch DataLoader + per-step H2D copies of the reference become
+    one upfront transfer; SURVEY.md §7.5's sharded HBM-resident pool).
+
+    With a data mesh, rows are sharded across devices and the gather is
+    per-shard (each device samples from its local rows), matching the
+    reference's shard-assigned data parallelism semantics
+    (reference datasets/data.py:83-119).
+    """
+
+    def __init__(self, pool: RayPool, mesh=None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.n = len(pool)
+        self._mesh = mesh
+        arrays = {
+            "rays": pool.rays, "ts": pool.ts,
+            "labels": pool.labels, "rgbs": pool.rgbs,
+        }
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            keep = (self.n // n_data) * n_data
+            sharding = NamedSharding(mesh, P(DATA_AXIS))
+            self.n_shards = n_data
+            self.rows_per_shard = keep // n_data
+            self.data = {
+                k: jax.device_put(jnp.asarray(v[:keep]), sharding)
+                for k, v in arrays.items()
+            }
+        else:
+            self.n_shards = 1
+            self.rows_per_shard = self.n
+            self.data = {k: jnp.asarray(v) for k, v in arrays.items()}
+
+        self._gather = self._build_gather()
+
+    def _build_gather(self):
+        import jax
+        import jax.numpy as jnp
+
+        rows = self.rows_per_shard
+        n_shards = self.n_shards
+
+        if self._mesh is None:
+            def gather(data, rng, batch_size: int):
+                idx = jax.random.randint(rng, (batch_size,), 0, rows)
+                return {k: v[idx] for k, v in data.items()}
+
+            return jax.jit(gather, static_argnames=("batch_size",))
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self._mesh
+
+        def local_gather(data, rng, per_shard):
+            # distinct stream per shard
+            rng = jax.random.fold_in(rng[0], jax.lax.axis_index(DATA_AXIS))
+            idx = jax.random.randint(rng, (per_shard,), 0, rows)
+            return {k: v[idx] for k, v in data.items()}
+
+        def gather(data, rng, batch_size: int):
+            per_shard = batch_size // n_shards
+            return shard_map(
+                lambda d, r: local_gather(d, r, per_shard),
+                mesh=mesh,
+                in_specs=({k: P(DATA_AXIS) for k in data}, P(None)),
+                out_specs={k: P(DATA_AXIS) for k in data},
+            )(data, rng[None])
+
+        return jax.jit(gather, static_argnames=("batch_size",))
+
+    def next_batch(self, rng, batch_size: int) -> dict:
+        """Sampled-with-replacement on-device batch (RNG key in, arrays
+        stay on device)."""
+        return self._gather(self.data, rng, batch_size)

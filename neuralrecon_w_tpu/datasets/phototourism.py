@@ -28,7 +28,7 @@ from __future__ import annotations
 import csv
 import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .color import apply_color, init_color
 from .nerf_bg import apply_nerf_bg, init_nerf_bg
-from .sdf import apply_sdf, init_sdf, sdf_value, sdf_value_feat_grad
+from .sdf import init_sdf, sdf_value, sdf_value_feat_grad
 
 
 class FieldConfig(NamedTuple):

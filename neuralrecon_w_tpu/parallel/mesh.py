@@ -14,8 +14,6 @@ bookkeeping — `jax.process_index()` replaces utils/comm.py entirely.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

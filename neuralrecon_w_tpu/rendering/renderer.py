@@ -28,7 +28,7 @@ from ..models.neuconw import (
     field_sdf,
 )
 from ..ops.ray_voxel import DeviceGrid, grid_near_far
-from .sampling import cat_z_vals, sample_pdf, up_sample
+from .sampling import cat_z_vals, up_sample
 
 
 class RenderConfig(NamedTuple):

@@ -12,7 +12,6 @@ as an orbax PyTree checkpoint; a config snapshot is written once per run
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..ops.ray_voxel import device_grid_from_host
 from ..ops.voxel_grid import VoxelGrid, grid_from_sfm_points
 from ..parallel.mesh import make_mesh, shard_rays
 from ..rendering.renderer import SceneInfo, render_config_from_cfg
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import restore_checkpoint, save_checkpoint
 from .losses import loss_config_from_cfg
 from .schedule import make_optimizer
 from .step import init_state, jit_train_step, make_render_fn, make_train_step
@@ -70,6 +70,10 @@ class TrainerConfig:
     save_dir: str = "results"
     ckpt_path: str | None = None
     val_freq_steps: int | None = None  # default: VAL_FREQ fraction of epoch
+    # capture a jax profiler trace over steps [start, start+count)
+    # (stands in for Lightning profiler="simple", reference train.py:59)
+    profile_start: int = -1
+    profile_steps: int = 20
 
 
 class Trainer:
@@ -209,31 +213,113 @@ class Trainer:
         )
 
         rng = jax.random.PRNGKey(int(self.cfg.TRAINER.SEED) + 1)
+        data_rng = jax.random.PRNGKey(int(self.cfg.TRAINER.SEED) + 2)
+
+        use_device_pool = getattr(self.cfg.TPU, "DEVICE_POOL", "auto")
+        if use_device_pool == "auto":
+            from ..ops.pallas_mlp import on_tpu
+
+            use_device_pool = on_tpu()
+        device_pool = None
+        if use_device_pool:
+            from ..datasets.cache import DeviceRayPool
+
+            device_pool = DeviceRayPool(pool, self.mesh)
+
+        # scan fast path: N steps per dispatch when the pool lives on a
+        # single data shard (amortizes dispatch latency; essential over
+        # a TPU tunnel, harmless locally)
+        scan_inner = int(getattr(self.cfg.TPU, "SCAN_INNER", 50))
+        use_scan = (
+            device_pool is not None
+            and device_pool.n_shards == 1
+            and scan_inner > 1
+        )
+
         t0 = time.time()
-        while int(self.state.step) < total:
-            step_i = int(self.state.step)
+        profiling = False
+        # host mirror of the device step counter: the loop must not
+        # force a device sync per iteration (over a TPU tunnel that
+        # round-trip would dominate the step time)
+        step_i = int(self.state.step)
+        start_step = step_i
+        while step_i < total:
+            if self.tcfg.profile_start >= 0:
+                if step_i == self.tcfg.profile_start and not profiling:
+                    jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
+                    profiling = True
+                elif profiling and step_i >= self.tcfg.profile_start + self.tcfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
             if self.update_freq > 0 and step_i > 0 and step_i % self.update_freq == 0:
                 self.refine_surface()
 
-            batch = shard_rays(self.mesh, {
-                k: jnp.asarray(v) for k, v in pool.next_batch(bs).items()
-            })
             with_fine = self.fine_dgrid is not None
-            jstep = self._get_step(with_fine)
-            self.state, aux = jstep(self.state, self.scene, batch, rng,
-                                    self.fine_dgrid, self.sfm_dgrid)
 
-            step_i = int(self.state.step)
-            if step_i % 50 == 0 or step_i == total:
-                scalars = {k: v for k, v in aux.items()}
-                scalars["rays_per_sec"] = bs * step_i / max(time.time() - t0, 1e-9)
+            # steps until the next host-side boundary (refine/save/val/
+            # profile edge/total)
+            boundaries = [total]
+            for freq in (self.update_freq, self.save_freq, val_every):
+                if freq > 0:
+                    boundaries.append((step_i // freq + 1) * freq)
+            if self.tcfg.profile_start >= 0:
+                for edge in (self.tcfg.profile_start,
+                             self.tcfg.profile_start + self.tcfg.profile_steps):
+                    if edge > step_i:
+                        boundaries.append(edge)
+            room = min(boundaries) - step_i
+
+            if use_scan and room >= scan_inner:
+                run = self._get_scan_run(with_fine, bs, scan_inner)
+                self.state, aux = run(
+                    self.state, self.scene, device_pool.data, data_rng, rng,
+                    self.fine_dgrid, self.sfm_dgrid,
+                )
+                step_i += scan_inner
+            else:
+                if device_pool is not None:
+                    batch = device_pool.next_batch(
+                        jax.random.fold_in(data_rng, step_i), bs
+                    )
+                else:
+                    batch = shard_rays(self.mesh, {
+                        k: jnp.asarray(v) for k, v in pool.next_batch(bs).items()
+                    })
+                jstep = self._get_step(with_fine)
+                self.state, aux = jstep(self.state, self.scene, batch, rng,
+                                        self.fine_dgrid, self.sfm_dgrid)
+                step_i += 1
+
+            if step_i % 50 == 0 or step_i >= total:
+                scalars = {k: float(v) for k, v in aux.items()}  # sync here only
+                scalars["rays_per_sec"] = (
+                    bs * (step_i - start_step) / max(time.time() - t0, 1e-9)
+                )
                 self.logger.log(step_i, scalars)
             if self.save_freq > 0 and step_i % self.save_freq == 0:
                 self.save(step_i)
             if val_every > 0 and step_i % val_every == 0 and self.meta.img_ids_train:
                 self.validate(step_i)
-        self.save(int(self.state.step))
+        if profiling:
+            jax.profiler.stop_trace()
+        self.save(step_i)
         return self.state
+
+    def _get_scan_run(self, with_fine: bool, batch_size: int, n_inner: int):
+        key = ("scan_fine" if with_fine else "scan_warm", batch_size, n_inner)
+        if key not in self._steps:
+            from .step import make_scan_train_fn
+
+            rcfg = render_config_from_cfg(
+                self.cfg, sfm_level=-1,
+                fine_level=self.train_level if with_fine else -1,
+                nerf_far_override=False,
+            )
+            self._steps[key] = make_scan_train_fn(
+                self.fc, rcfg, self.lcfg, self.opt, self.anneal_end,
+                self.ray_mask_ids, batch_size, n_inner,
+            )
+        return self._steps[key]
 
     def save(self, step: int):
         save_checkpoint(self.ckpt_dir, step, jax.device_get(self.state.params),

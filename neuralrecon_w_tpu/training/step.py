@@ -157,6 +157,49 @@ def _adam_state_specs(param_specs):
     )
 
 
+def make_scan_train_fn(
+    fc: FieldConfig,
+    rcfg: RenderConfig,
+    lcfg,
+    optimizer,
+    anneal_end: int,
+    ray_mask_ids: tuple,
+    batch_size: int,
+    n_inner: int,
+):
+    """Train n_inner steps per device dispatch with on-device batch
+    gathering from an HBM-resident ray pool (lax.scan over the step).
+
+    This amortizes host->device dispatch latency — essential when the
+    host drives the chip over a network tunnel, and still a win locally.
+    Single-data-shard pools only (the sharded pool path gathers via
+    shard_map outside; see datasets.cache.DeviceRayPool).
+
+    Returns run(state, scene, pool_data, data_rng, rng, fine_grid,
+    sfm_grid) -> (state, last_aux).
+    """
+    step_fn = make_train_step(fc, rcfg, lcfg, optimizer, anneal_end,
+                              ray_mask_ids)
+
+    def run(state, scene, pool_data, data_rng, rng,
+            fine_grid=None, sfm_grid=None):
+        n_rows = pool_data["rays"].shape[0]
+
+        def body(carry, _):
+            st = carry
+            k = jax.random.fold_in(data_rng, st.step)
+            idx = jax.random.randint(k, (batch_size,), 0, n_rows)
+            batch = {key: v[idx] for key, v in pool_data.items()}
+            st, aux = step_fn(st, scene, batch, rng, fine_grid, sfm_grid)
+            return st, aux
+
+        state, auxs = jax.lax.scan(body, state, None, length=n_inner)
+        last = jax.tree.map(lambda x: x[-1], auxs)
+        return state, last
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
 def make_render_fn(fc: FieldConfig, rcfg: RenderConfig):
     """Deterministic chunked render for validation / image synthesis
     (reference neuconw_system.py:404-430). perturb=0, no ray mask."""

@@ -14,7 +14,6 @@ import os
 import numpy as np
 
 from ..datasets.phototourism import SceneMeta, build_image_rays
-from ..models.neuconw import FieldConfig
 from ..rendering.renderer import SceneInfo
 
 

@@ -290,3 +290,21 @@ def test_psnr_mse():
     b = jnp.full((4, 3), 0.1)
     np.testing.assert_allclose(float(mse(a, b)), 0.01, rtol=1e-6)
     np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+
+
+def test_device_ray_pool():
+    """HBM-resident pool: on-device gathers, sharded and unsharded."""
+    from neuralrecon_w_tpu.datasets.cache import DeviceRayPool, RayPool
+
+    rays = np.random.RandomState(0).rand(1024, 12).astype(np.float32)
+    rgbs = np.random.RandomState(1).rand(1024, 3).astype(np.float32)
+    pool = RayPool(rays, rgbs)
+    for m in [None, make_mesh()]:
+        dp = DeviceRayPool(pool, m)
+        b = dp.next_batch(jax.random.PRNGKey(0), 64)
+        assert b["rays"].shape == (64, 10)
+        b2 = dp.next_batch(jax.random.PRNGKey(1), 64)
+        assert not np.allclose(np.asarray(b["rays"]), np.asarray(b2["rays"]))
+        src = set(map(tuple, np.round(pool.rays, 5)))
+        for row in np.asarray(b["rays"])[:16]:
+            assert tuple(np.round(row, 5)) in src
