@@ -47,13 +47,24 @@ def _sweep_jit(params, arrays, fn, chunk: int, mesh):
             -1, *jax.eval_shape(partial(fn, params), *(b[0] for b in blocks)).shape[1:]
         )
 
-    if mesh is None:
+    if mesh is None or mesh.shape[DATA_AXIS] == 1:
         return local(params, *arrays)
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in arrays),
-        out_specs=P(DATA_AXIS),
-    )(params, *arrays)
+    try:
+        # check_vma must be off when the local fn contains a pallas_call
+        # (its ShapeDtypeStruct carries no varying-mesh-axes annotation)
+        smapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in arrays),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    except TypeError:  # older jax without check_vma
+        smapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(),) + tuple(P(DATA_AXIS) for _ in arrays),
+            out_specs=P(DATA_AXIS),
+        )
+    return smapped(params, *arrays)
 
 
 def _sweep(fn, params, mesh: Mesh | None, chunk: int, *host_arrays):
