@@ -23,10 +23,9 @@ import numpy as np
 
 A100_REFERENCE_RAYS_PER_SEC = 20_000.0
 
-# 8192 saturates one v5e chip (2048 is dispatch-latency-bound at
-# ~1.4 M rays/s; 8192 reaches ~8 M rays/s; 16384 exceeds HBM without
-# rematerialization). The global batch is sharded across chips, so the
-# LR linear-scaling rule covers the optimization-dynamics side.
+# 8192 amortizes dispatch and fills the chip; 16384 exceeds HBM without
+# rematerialization (see BENCHMARKS.md). The global batch is sharded
+# across chips; the LR linear-scaling rule covers optimization dynamics.
 BATCH = 8192
 WARMUP = 3
 ITERS = 30
@@ -56,13 +55,17 @@ def main():
 
     for _ in range(WARMUP):
         state, aux = step(state, scene, batch, rng)
-    jax.block_until_ready(aux["loss"])
+    # value fetch, not block_until_ready: remote-device transports may
+    # resolve readiness before execution completes; pulling the scalar
+    # guarantees the whole dependent chain actually ran
+    float(aux["loss"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, aux = step(state, scene, batch, rng)
-    jax.block_until_ready(aux["loss"])
+    loss = float(aux["loss"])
     dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in benchmark"
 
     rays_per_sec = BATCH * ITERS / dt
     print(json.dumps({

@@ -137,9 +137,12 @@ _CN.TPU.MESH_DATA = -1  # -1 => all devices on the data axis
 _CN.TPU.MESH_MODEL = 1
 _CN.TPU.BF16_COLOR = False  # evaluate color/background nets in bfloat16
 _CN.TPU.DONATE_STATE = True
-# "auto" (on when running on TPU) | True | False — fused Pallas SDF MLP
-# for the sampler's gradient-free evals (ops/pallas_mlp.py)
-_CN.TPU.FUSED_SAMPLER_SDF = "auto"
+# True | False — fused Pallas SDF MLP for the sampler's gradient-free
+# evals (ops/pallas_mlp.py). Off by default: at production batch sizes
+# XLA matches the kernel on this path (BENCHMARKS.md); the kernel's win
+# is huge-sweep memory (it streams a 128-wide output instead of
+# materializing the 513-wide feature field).
+_CN.TPU.FUSED_SAMPLER_SDF = False
 # "auto" (on when running on TPU) | True | False — keep the whole ray
 # pool in HBM and gather batches on device (with-replacement sampling;
 # removes the per-step host->device copy)
@@ -147,10 +150,12 @@ _CN.TPU.DEVICE_POOL = "auto"
 # steps fused per dispatch via lax.scan when the device pool is active
 # (single data shard); amortizes host dispatch latency
 _CN.TPU.SCAN_INNER = 50
-# "auto" (on when running on TPU) | True | False — rematerialize field
-# activations in backward; on v5e this is also faster at batch 8192
-# (9.7 vs 8.1 M rays/s: HBM traffic saved beats the recompute FLOPs)
-_CN.TPU.REMAT_FIELD = "auto"
+# True | False — rematerialize field activations in backward. Costs
+# ~15% step time at batch 8192; enable to fit larger ray batches.
+_CN.TPU.REMAT_FIELD = False
+# per-sample SDF gradient mode: 'vjp' (fused reverse) | 'fwd'
+# (linearize + 3 tangents; reverse-over-forward backward)
+_CN.TPU.SDF_GRAD_MODE = "vjp"
 
 
 def get_cfg_defaults():

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from .color import apply_color, init_color
 from .nerf_bg import apply_nerf_bg, init_nerf_bg
-from .sdf import init_sdf, sdf_value, sdf_value_feat_grad
+from .sdf import (
+    init_sdf,
+    sdf_value,
+    sdf_value_feat_grad,
+    sdf_value_feat_grad_fwdmode,
+)
 
 
 class FieldConfig(NamedTuple):
@@ -33,6 +38,9 @@ class FieldConfig(NamedTuple):
     n_a: int
     encode_a: bool
     encode_a_bg: bool
+    # 'vjp' (one fused reverse pass) or 'fwd' (linearize + 3 tangents)
+    # for the per-sample SDF gradients; numerically identical
+    grad_mode: str = "vjp"
 
     @property
     def sdf_cfg(self) -> dict:
@@ -54,6 +62,7 @@ def field_config_from_cfg(cfg) -> FieldConfig:
         n_a=int(n.N_A),
         encode_a=bool(n.ENCODE_A),
         encode_a_bg=bool(n.ENCODE_A_BG),
+        grad_mode=str(getattr(cfg.TPU, "SDF_GRAD_MODE", "vjp")),
     )
 
 
@@ -92,7 +101,11 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
     with the gradient from one fused vjp instead of a second autograd pass.
     """
     sdf_cfg = fc.sdf_cfg
-    sdf, feat, grad = sdf_value_feat_grad(params["neuconw"]["sdf"], sdf_cfg, pts)
+    grad_fn = (
+        sdf_value_feat_grad_fwdmode if fc.grad_mode == "fwd"
+        else sdf_value_feat_grad
+    )
+    sdf, feat, grad = grad_fn(params["neuconw"]["sdf"], sdf_cfg, pts)
     rgb = apply_color(
         params["neuconw"]["color"],
         fc.color_cfg,

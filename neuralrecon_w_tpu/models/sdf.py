@@ -138,6 +138,20 @@ def sdf_value_feat_grad(params, cfg, x: jnp.ndarray):
     return out[..., 0], out[..., 1:], grad
 
 
+def sdf_value_feat_grad_fwdmode(params, cfg, x: jnp.ndarray):
+    """(sdf, feature, grad) via forward-mode: one primal evaluation +
+    three linearized tangent passes (jax.linearize). The training
+    backward then differentiates reverse-over-forward, which can have a
+    cheaper AD structure than the double-reverse of the vjp variant for
+    the eikonal term. Numerically identical to sdf_value_feat_grad."""
+    out, lin = jax.linearize(lambda pts: apply_sdf(params, cfg, pts), x)
+    zeros = jnp.zeros_like(x)
+    grad = jnp.stack(
+        [lin(zeros.at[..., i].set(1.0))[..., 0] for i in range(3)], axis=-1
+    )
+    return out[..., 0], out[..., 1:], grad
+
+
 def sdf_grad(params, cfg, x: jnp.ndarray) -> jnp.ndarray:
     """d sdf / d x, shape (..., 3)."""
     return sdf_value_feat_grad(params, cfg, x)[2]

@@ -28,7 +28,7 @@ from ..models.neuconw import (
     field_sdf,
 )
 from ..ops.ray_voxel import DeviceGrid, grid_near_far
-from .sampling import cat_z_vals, up_sample
+from .sampling import cat_z_vals, merge_sorted, up_sample
 
 
 class RenderConfig(NamedTuple):
@@ -73,9 +73,9 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
     n = cfg.NEUCONW
     from ..datasets.mask_utils import get_label_id_mapping
 
-    fused = getattr(cfg.TPU, "FUSED_SAMPLER_SDF", "auto")
-    remat = getattr(cfg.TPU, "REMAT_FIELD", "auto")
-    if fused == "auto" or remat == "auto":
+    fused = getattr(cfg.TPU, "FUSED_SAMPLER_SDF", False)
+    remat = getattr(cfg.TPU, "REMAT_FIELD", False)
+    if fused == "auto" or remat == "auto":  # legacy configs
         from ..ops.pallas_mlp import on_tpu
 
         tpu = on_tpu()
@@ -208,7 +208,8 @@ def sparse_sampler(
                 last=(i + 1 == rcfg.up_sample_steps),
             )
 
-    # boundary guards around the surface band
+    # boundary guards around the surface band (each piece is sorted, so
+    # two sort-free merges replace the row sort)
     if fine_grid is not None and rcfg.boundary_samples > 0:
         bn = rcfg.boundary_samples // 2
         bf = rcfg.boundary_samples - bn
@@ -216,9 +217,7 @@ def sparse_sampler(
         far_lin = jnp.linspace(0.0, 1.0, bf + 1)[1:]
         bound_near = near + (z_vals[:, :1] - near) * near_lin[None, :]
         bound_far = z_vals[:, -1:] + (far - z_vals[:, -1:]) * far_lin[None, :]
-        z_vals = jnp.sort(
-            jnp.concatenate([bound_near, bound_far, z_vals], axis=-1), axis=-1
-        )
+        z_vals = merge_sorted(merge_sorted(bound_near, z_vals), bound_far)
 
     return z_vals, z_vals_outside, sample_dist
 
@@ -449,9 +448,8 @@ def render_rays(
     background_alpha = None
     background_sampled_color = None
     if rcfg.render_bg and rcfg.n_outside > 0:
-        z_feed = jnp.sort(
-            jnp.concatenate([z_vals, jax.lax.stop_gradient(z_vals_outside)], axis=-1),
-            axis=-1,
+        z_feed = merge_sorted(
+            z_vals, jax.lax.stop_gradient(z_vals_outside)
         )
         ret_out = render_core_outside(
             params, fc, rcfg, rays_o, rays_d, z_feed, sample_dist, a_embedded

@@ -111,9 +111,16 @@ def nima_filter(root_dir: str, image_names: list, ckpt_path: str,
     dataset_filter_utils.py:19-96 — shipped disabled in the reference,
     prepare_data_split.py:41). Requires local VGG16-based NIMA weights;
     keeps images whose mean predicted score exceeds ``threshold``."""
-    import torch
-    import torch.nn as nn
-    from torchvision.models import vgg16
+    try:
+        import torch
+        import torch.nn as nn
+        from torchvision.models import vgg16
+    except ImportError as e:
+        raise RuntimeError(
+            "NIMA filtering needs torchvision + local pretrained weights "
+            "(the reference ships this disabled too, "
+            "prepare_data_split.py:41)"
+        ) from e
 
     class NIMA(nn.Module):
         def __init__(self, base, num_classes: int = 10):

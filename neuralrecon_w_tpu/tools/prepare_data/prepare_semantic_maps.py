@@ -55,8 +55,15 @@ def main(argv=None):
     images = sorted(glob.glob(os.path.join(img_dir, "*")))
     model = None
     if args.backend == "torchvision":
-        import torch
-        from torchvision.models.segmentation import deeplabv3_resnet101
+        try:
+            import torch
+            from torchvision.models.segmentation import deeplabv3_resnet101
+        except ImportError as e:
+            raise SystemExit(
+                "--backend torchvision needs the torchvision package "
+                "(not present in this environment); use --backend constant "
+                "or provide another ADE20K segmentation source"
+            ) from e
 
         model = deeplabv3_resnet101(weights=None, num_classes=21)
         if args.weights:

@@ -183,3 +183,18 @@ def test_variance_parity():
 
     params = {"neuconw": {"variance": jnp.asarray(0.3)}}
     np.testing.assert_allclose(float(inv_s(params)), ref_s, rtol=1e-6)
+
+
+def test_ade20k_label_mapping_parity():
+    """All 150 ADE20K class ids must match the reference exactly —
+    semantic masks index by these ids."""
+    import importlib.util
+
+    from neuralrecon_w_tpu.datasets.mask_utils import get_label_id_mapping
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mask_utils", "/root/reference/datasets/mask_utils.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    assert get_label_id_mapping() == ref.get_label_id_mapping()
