@@ -137,12 +137,11 @@ _CN.TPU.MESH_DATA = -1  # -1 => all devices on the data axis
 _CN.TPU.MESH_MODEL = 1
 _CN.TPU.BF16_COLOR = False  # evaluate color/background nets in bfloat16
 _CN.TPU.DONATE_STATE = True
-# True | False — fused Pallas SDF MLP for the sampler's gradient-free
-# evals (ops/pallas_mlp.py). Off by default: at production batch sizes
-# XLA matches the kernel on this path (BENCHMARKS.md); the kernel's win
-# is huge-sweep memory (it streams a 128-wide output instead of
-# materializing the 513-wide feature field).
-_CN.TPU.FUSED_SAMPLER_SDF = False
+# "auto" (on when running on TPU) | True | False — run the WHOLE
+# importance-sampling stage as one fused Pallas kernel
+# (ops/pallas_sampler.py): MLP evals + up-sampling + inverse-CDF +
+# merges. 2.5x on the stage vs the jnp path (BENCHMARKS.md).
+_CN.TPU.FUSED_SAMPLER_SDF = "auto"
 # "auto" (on when running on TPU) | True | False — keep the whole ray
 # pool in HBM and gather batches on device (with-replacement sampling;
 # removes the per-step host->device copy)

@@ -190,23 +190,29 @@ def sparse_sampler(
     # iterative SDF importance sampling (fixed inv_s schedule)
     if rcfg.n_importance > 0:
         if rcfg.fused_sampler_sdf:
-            from ..ops.pallas_mlp import fused_field_sdf
+            # one Pallas kernel for the whole gradient-free stage
+            # (ops/pallas_sampler.py): MLP evals + up-sampling + CDF
+            # draws + merges, ~100 small XLA ops collapsed
+            from ..ops.pallas_sampler import fused_importance_sampler
 
-            sdf_fn = lambda pts: fused_field_sdf(params, fc, pts)
+            z_vals = fused_importance_sampler(
+                params["neuconw"]["sdf"], fc.sdf, rays_o, rays_d, z_vals,
+                rcfg.n_importance, rcfg.up_sample_steps, rcfg.s_val_base,
+            )
         else:
             sdf_fn = lambda pts: field_sdf(params, fc, pts)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        sdf = sdf_fn(pts)
-        n_per_step = rcfg.n_importance // rcfg.up_sample_steps
-        for i in range(rcfg.up_sample_steps):
-            new_z = up_sample(
-                rays_o, rays_d, z_vals, sdf, n_per_step,
-                64.0 * 2 ** (rcfg.s_val_base + i),
-            )
-            z_vals, sdf = cat_z_vals(
-                sdf_fn, rays_o, rays_d, z_vals, new_z, sdf,
-                last=(i + 1 == rcfg.up_sample_steps),
-            )
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+            sdf = sdf_fn(pts)
+            n_per_step = rcfg.n_importance // rcfg.up_sample_steps
+            for i in range(rcfg.up_sample_steps):
+                new_z = up_sample(
+                    rays_o, rays_d, z_vals, sdf, n_per_step,
+                    64.0 * 2 ** (rcfg.s_val_base + i),
+                )
+                z_vals, sdf = cat_z_vals(
+                    sdf_fn, rays_o, rays_d, z_vals, new_z, sdf,
+                    last=(i + 1 == rcfg.up_sample_steps),
+                )
 
     # boundary guards around the surface band (each piece is sorted, so
     # two sort-free merges replace the row sort)
