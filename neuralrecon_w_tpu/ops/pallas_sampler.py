@@ -222,7 +222,7 @@ def fused_importance_sampler(
     n_importance: int,
     up_steps: int,
     s_val_base: int,
-    tile: int = 128,
+    tile: int = 64,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """z_base (R, n0) sorted -> (R, n0 + n_importance) sorted samples.
