@@ -135,7 +135,6 @@ _CN.TRAINER.GRAD_CLIP = 0.99  # global-norm clip (reference train.py:61)
 _CN.TPU = CN()
 _CN.TPU.MESH_DATA = -1  # -1 => all devices on the data axis
 _CN.TPU.MESH_MODEL = 1
-_CN.TPU.BF16_COLOR = False  # evaluate color/background nets in bfloat16
 _CN.TPU.DONATE_STATE = True
 # "auto" (on when running on TPU) | True | False — run the WHOLE
 # importance-sampling stage as one fused Pallas kernel
