@@ -154,6 +154,10 @@ _CN.TPU.REMAT_FIELD = False
 # per-sample SDF gradient mode: 'vjp' (fused reverse) | 'fwd'
 # (linearize + 3 tangents; reverse-over-forward backward)
 _CN.TPU.SDF_GRAD_MODE = "vjp"
+# 'float32' | 'bfloat16' — dtype of field hidden activations. The step
+# is HBM-bound on stored activations (BENCHMARKS.md); bfloat16 halves
+# that traffic (weights stay f32). Default f32 for exact parity.
+_CN.TPU.FIELD_DTYPE = "float32"
 
 
 def get_cfg_defaults():

@@ -56,8 +56,16 @@ def init_color(key, cfg, in_channels_a: int, encode_a: bool, dtype=jnp.float32):
     return params
 
 
-def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature, a_embedded=None):
-    """All inputs (N, d); returns rgb (N, 3) in [0, 1]."""
+def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature, a_embedded=None, act_dtype=None):
+    """All inputs (N, d); returns rgb (N, 3) in [0, 1]. act_dtype casts
+    the hidden activations (see models/sdf.py)."""
+    import jax.numpy as _jnp
+
+    if act_dtype is not None and act_dtype != _jnp.float32:
+        cast = lambda t: None if t is None else t.astype(act_dtype)
+        points, normals, view_dirs = cast(points), cast(normals), cast(view_dirs)
+        feature, a_embedded = cast(feature), cast(a_embedded)
+        params = __import__("jax").tree.map(lambda l: l.astype(act_dtype), params)
     apply_main = apply_wn_linear if cfg["weight_norm"] else apply_linear
     n_layers = cfg["n_layers"] + 1
 
@@ -82,4 +90,4 @@ def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature
         x = apply_main(params[f"lin{l}"], x)
         if l < n_layers - 1:
             x = jax.nn.relu(x)
-    return jax.nn.sigmoid(x)
+    return jax.nn.sigmoid(x.astype(jnp.float32))

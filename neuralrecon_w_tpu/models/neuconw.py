@@ -41,6 +41,9 @@ class FieldConfig(NamedTuple):
     # 'vjp' (one fused reverse pass) or 'fwd' (linearize + 3 tangents)
     # for the per-sample SDF gradients; numerically identical
     grad_mode: str = "vjp"
+    # 'float32' | 'bfloat16' — dtype the hidden activations flow in
+    # (weights stay f32; halves the HBM-bound activation traffic)
+    act_dtype: str = "float32"
 
     @property
     def sdf_cfg(self) -> dict:
@@ -63,6 +66,7 @@ def field_config_from_cfg(cfg) -> FieldConfig:
         encode_a=bool(n.ENCODE_A),
         encode_a_bg=bool(n.ENCODE_A_BG),
         grad_mode=str(getattr(cfg.TPU, "SDF_GRAD_MODE", "vjp")),
+        act_dtype=str(getattr(cfg.TPU, "FIELD_DTYPE", "float32")),
     )
 
 
@@ -85,9 +89,13 @@ def inv_s(params) -> jnp.ndarray:
     return jnp.clip(jnp.exp(params["neuconw"]["variance"] * 10.0), 1e-6, 1e6)
 
 
+def _act(fc) -> jnp.dtype:
+    return jnp.bfloat16 if fc.act_dtype == "bfloat16" else jnp.float32
+
+
 def field_sdf(params, fc: FieldConfig, pts: jnp.ndarray) -> jnp.ndarray:
     """SDF probe, (..., 3) -> (...,). Mesh/octree sweeps use this."""
-    return sdf_value(params["neuconw"]["sdf"], fc.sdf_cfg, pts)
+    return sdf_value(params["neuconw"]["sdf"], fc.sdf_cfg, pts, _act(fc))
 
 
 def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
@@ -101,11 +109,14 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
     with the gradient from one fused vjp instead of a second autograd pass.
     """
     sdf_cfg = fc.sdf_cfg
-    grad_fn = (
-        sdf_value_feat_grad_fwdmode if fc.grad_mode == "fwd"
-        else sdf_value_feat_grad
-    )
-    sdf, feat, grad = grad_fn(params["neuconw"]["sdf"], sdf_cfg, pts)
+    if fc.grad_mode == "fwd":
+        sdf, feat, grad = sdf_value_feat_grad_fwdmode(
+            params["neuconw"]["sdf"], sdf_cfg, pts
+        )
+    else:
+        sdf, feat, grad = sdf_value_feat_grad(
+            params["neuconw"]["sdf"], sdf_cfg, pts, _act(fc)
+        )
     rgb = apply_color(
         params["neuconw"]["color"],
         fc.color_cfg,
@@ -115,6 +126,7 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         dirs,
         feat,
         a_embedded,
+        act_dtype=_act(fc),
     )
     return rgb, inv_s(params), sdf, grad
 

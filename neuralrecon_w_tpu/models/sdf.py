@@ -97,8 +97,14 @@ def _layer_weight(p):
     return p["w"]
 
 
-def apply_sdf(params, cfg, x: jnp.ndarray) -> jnp.ndarray:
-    """Full SDF forward: (..., 3) -> (..., d_out) = [sdf | feature]."""
+def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
+    """Full SDF forward: (..., 3) -> (..., d_out) = [sdf | feature].
+
+    act_dtype: dtype the hidden activations flow in. bfloat16 halves the
+    dominant HBM traffic of training (activations stored for backward);
+    weights stay f32 and are cast per-matmul, so weight-norm precision
+    is unaffected. Output is always f32.
+    """
     dims = sdf_layer_dims(cfg)
     skip_in = tuple(cfg["skip_in"])
     n_layers = len(dims) - 1
@@ -108,31 +114,33 @@ def apply_sdf(params, cfg, x: jnp.ndarray) -> jnp.ndarray:
     shape = x.shape[:-1]
     x = x.reshape(-1, cfg["d_in"])
     inputs = positional_encoding(x, cfg["multires"]) if cfg["multires"] > 0 else x
+    inputs = inputs.astype(act_dtype)
 
     h = inputs
-    inv_sqrt2 = 1.0 / np.sqrt(2)
+    inv_sqrt2 = np.asarray(1.0 / np.sqrt(2), act_dtype)
     for l in range(n_layers):
         p = params[f"lin{l}"]
         if l in skip_in:
             h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
-        h = h @ _layer_weight(p) + p["b"]
+        h = h @ _layer_weight(p).astype(act_dtype) + p["b"].astype(act_dtype)
         if l < n_layers - 1:
             h = softplus_beta(h, 100.0)
+    h = h.astype(jnp.float32)
     out = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
     return out.reshape(*shape, dims[-1])
 
 
-def sdf_value(params, cfg, x: jnp.ndarray) -> jnp.ndarray:
+def sdf_value(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
     """Signed distance only: (..., 3) -> (...,)."""
-    return apply_sdf(params, cfg, x)[..., 0]
+    return apply_sdf(params, cfg, x, act_dtype)[..., 0]
 
 
-def sdf_value_feat_grad(params, cfg, x: jnp.ndarray):
+def sdf_value_feat_grad(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32):
     """(sdf, feature, grad) in one forward + one reverse pass.
 
     Returns sdf (...,), feat (..., d_out-1), grad (..., 3). Differentiable
     w.r.t. params and x (higher-order AD for the eikonal term)."""
-    out, pullback = jax.vjp(lambda pts: apply_sdf(params, cfg, pts), x)
+    out, pullback = jax.vjp(lambda pts: apply_sdf(params, cfg, pts, act_dtype), x)
     cot = jnp.zeros_like(out).at[..., 0].set(1.0)
     (grad,) = pullback(cot)
     return out[..., 0], out[..., 1:], grad

@@ -1,0 +1,54 @@
+"""Every shipped per-scene YAML must load through the config system and
+build valid model/render/loss configs (hyperparameter parity with the
+reference's config/train_*.yaml)."""
+
+import glob
+import os
+
+import pytest
+
+from neuralrecon_w_tpu.config import get_cfg_defaults
+from neuralrecon_w_tpu.models import field_config_from_cfg
+from neuralrecon_w_tpu.rendering import render_config_from_cfg
+from neuralrecon_w_tpu.training import loss_config_from_cfg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+YAMLS = sorted(glob.glob(os.path.join(REPO, "config", "train*.yaml")))
+
+
+@pytest.mark.parametrize("path", YAMLS, ids=[os.path.basename(p) for p in YAMLS])
+def test_scene_yaml_loads(path):
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(path)
+    fc = field_config_from_cfg(cfg)
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    assert fc.sdf_cfg["d_hidden"] >= 64
+    assert rcfg.n_samples > 0
+    assert lcfg.igr_weight >= 0
+
+    name = os.path.basename(path)
+    if name == "train_brandenburg_gate.yaml":
+        assert rcfg.n_samples == 8 and rcfg.n_importance == 16
+        assert rcfg.up_sample_steps == 2 and rcfg.boundary_samples == 10
+        assert rcfg.s_val_base == 3 and rcfg.sample_range == 16
+        assert fc.n_vocab == 5000 and fc.n_a == 48
+        assert rcfg.mesh_mask_ids is not None
+        assert lcfg.use_depth_loss
+    if name == "train_indoor.yaml":
+        assert fc.sdf_cfg["inside_outside"] is True
+        assert fc.encode_a_bg is False
+
+
+def test_reference_yaml_schema_compat():
+    """The REFERENCE's own per-scene YAMLs must also load unchanged
+    (external-contract parity, SURVEY.md §7)."""
+    ref_yamls = sorted(glob.glob("/root/reference/config/train*.yaml"))
+    if not ref_yamls:
+        pytest.skip("reference configs unavailable")
+    for path in ref_yamls:
+        cfg = get_cfg_defaults()
+        cfg.merge_from_file(path)
+        field_config_from_cfg(cfg)
+        render_config_from_cfg(cfg)
+        loss_config_from_cfg(cfg)

@@ -308,3 +308,23 @@ def test_device_ray_pool():
         src = set(map(tuple, np.round(pool.rays, 5)))
         for row in np.asarray(b["rays"])[:16]:
             assert tuple(np.round(row, 5)) in src
+
+
+def test_bf16_activations_descend():
+    """FIELD_DTYPE=bfloat16 halves activation traffic; training must
+    still descend and the outputs stay f32."""
+    cfg = tiny_cfg()
+    cfg.TPU.FIELD_DTYPE = "bfloat16"
+    fc = field_config_from_cfg(cfg)
+    assert fc.act_dtype == "bfloat16"
+    rcfg = render_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048, total_steps=0)
+    state = init_state(jax.random.PRNGKey(0), fc, opt)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+    batch = make_batch(16)
+    losses = []
+    for _ in range(5):
+        state, aux = step(state, scene(), batch, jax.random.PRNGKey(1))
+        losses.append(float(aux["loss"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
