@@ -42,8 +42,18 @@ def init_nerf_bg(key, encode_appearance: bool, in_channels_a: int = 48, dtype=jn
     return params
 
 
-def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs, a_embedded=None):
-    """pts4 (N, 4) = [xyz/r, 1/r]; returns (density (N,1), rgb (N,3))."""
+def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs,
+                  a_embedded=None, act_dtype=None):
+    """pts4 (N, 4) = [xyz/r, 1/r]; returns (density (N,1), rgb (N,3)).
+
+    act_dtype: optional hidden-activation dtype (see models/sdf.py);
+    outputs are cast back to f32."""
+    if act_dtype is not None and act_dtype != jnp.float32:
+        params = jax.tree.map(lambda l: l.astype(act_dtype), params)
+        pts4 = pts4.astype(act_dtype)
+        view_dirs = view_dirs.astype(act_dtype)
+        if a_embedded is not None:
+            a_embedded = a_embedded.astype(act_dtype)
     pe = positional_encoding(pts4, 10)
     pe_view = positional_encoding(view_dirs, 4)
 
@@ -63,4 +73,4 @@ def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs, a_embedded=N
         h = jnp.concatenate([feature, pe_view], axis=-1)
         h = jax.nn.relu(apply_linear(params["views0"], h))
     rgb = apply_linear(params["rgb"], h)
-    return alpha, rgb
+    return alpha.astype(jnp.float32), rgb.astype(jnp.float32)

@@ -141,4 +141,5 @@ def field_rgb(params, fc: FieldConfig, pts, dirs, a_embedded):
 def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded):
     """Background NeRF evaluation; pts4 (N, 4) inverted-sphere coords."""
     a = a_embedded if fc.encode_a_bg else None
-    return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a)
+    return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a,
+                         act_dtype=_act(fc))

@@ -31,22 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_mlp import LANE, _round_up, _sdf_static, pack_sdf_weights
 
 
-def _mlp_sdf(pe_pad, w_refs, dims, skip, scale):
-    """Padded-PE rows -> SDF values (rows,). Mirrors pallas_mlp's body."""
+def _mlp_sdf(pe_pad, w_refs, dims, skip, scale, act_dtype=jnp.float32):
+    """Padded-PE rows -> SDF values (rows,). Mirrors pallas_mlp's body.
+    act_dtype=bfloat16 runs the matmuls at the MXU's native bf16 rate
+    (f32 accumulate via preferred_element_type)."""
     n_layers = len(dims) - 1
     inv_sqrt2 = np.float32(1.0 / np.sqrt(2))
-    h = pe_pad
+    h = pe_pad.astype(act_dtype)
+    pe_a = h
     for l in range(n_layers):
-        w = w_refs[2 * l][:]
+        w = w_refs[2 * l][:].astype(act_dtype)
         b = w_refs[2 * l + 1][:]
         if l in skip:
-            h = jnp.concatenate([h, pe_pad], axis=-1) * inv_sqrt2
+            h = (jnp.concatenate([h, pe_a], axis=-1) * inv_sqrt2).astype(act_dtype)
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         if l < n_layers - 1:
             zb = z * 100.0
             h = jnp.where(
                 zb > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(zb, 20.0))) / 100.0
-            )
+            ).astype(act_dtype)
         else:
             h = z
     return h[:, 0] / scale
@@ -170,7 +173,7 @@ def _merge_sorted(a, b, pa=None, pb=None):
 
 
 def _sampler_kernel(dims, skip, multires, scale, n_importance, up_steps,
-                    s_val_base, o_ref, d_ref, z_ref, *refs):
+                    s_val_base, act, o_ref, d_ref, z_ref, *refs):
     n_layers = len(dims) - 1
     w_refs = refs[: 2 * n_layers]
     out_ref = refs[2 * n_layers]
@@ -187,7 +190,7 @@ def _sampler_kernel(dims, skip, multires, scale, n_importance, up_steps,
         pts = o[:, None, :] + d[:, None, :] * z[..., None]  # (tile, s, 3)
         rows = pts.reshape(-1, 3) * scale
         pe = _pe_rows(rows, multires, d_pe_pad)
-        return _mlp_sdf(pe, w_refs, dims, skip, scale).reshape(tile, -1)
+        return _mlp_sdf(pe, w_refs, dims, skip, scale, act).reshape(tile, -1)
 
     def radius(z):
         pts = o[:, None, :] + d[:, None, :] * z[..., None]
@@ -208,9 +211,11 @@ def _sampler_kernel(dims, skip, multires, scale, n_importance, up_steps,
 
 
 @lru_cache(maxsize=None)
-def _kernel_for(dims, skip, multires, scale, n_importance, up_steps, s_val_base):
+def _kernel_for(dims, skip, multires, scale, n_importance, up_steps,
+                s_val_base, act_dtype):
+    act = jnp.bfloat16 if act_dtype == "bfloat16" else jnp.float32
     return partial(_sampler_kernel, dims, skip, multires, scale,
-                   n_importance, up_steps, s_val_base)
+                   n_importance, up_steps, s_val_base, act)
 
 
 def fused_importance_sampler(
@@ -224,6 +229,7 @@ def fused_importance_sampler(
     s_val_base: int,
     tile: int = 64,
     interpret: bool = False,
+    act_dtype: str = "float32",
 ) -> jnp.ndarray:
     """z_base (R, n0) sorted -> (R, n0 + n_importance) sorted samples.
 
@@ -263,7 +269,7 @@ def fused_importance_sampler(
 
     n_out = n0 + n_importance
     kernel = _kernel_for(tuple(dims), tuple(skip), multires, scale,
-                         n_importance, up_steps, s_val_base)
+                         n_importance, up_steps, s_val_base, act_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(r_pad // tile,),

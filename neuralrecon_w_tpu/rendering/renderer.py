@@ -198,6 +198,7 @@ def sparse_sampler(
             z_vals = fused_importance_sampler(
                 params["neuconw"]["sdf"], fc.sdf, rays_o, rays_d, z_vals,
                 rcfg.n_importance, rcfg.up_sample_steps, rcfg.s_val_base,
+                act_dtype=fc.act_dtype,
             )
         else:
             sdf_fn = lambda pts: field_sdf(params, fc, pts)

@@ -26,6 +26,7 @@ def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip):
     class FC:
         sdf = items
         sdf_cfg = dict(items)
+        act_dtype = "float32"
 
     params = {"neuconw": {"sdf": params_sdf}}
     R, n0, n_imp, steps, s_base = 48, 8, 16, 2, 3
