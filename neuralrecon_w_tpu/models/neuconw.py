@@ -113,6 +113,14 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         sdf, feat, grad = sdf_value_feat_grad_fwdmode(
             params["neuconw"]["sdf"], sdf_cfg, pts
         )
+    elif fc.grad_mode == "pallas":
+        # fused forward/backward kernels with the hand-derived VJP
+        # (ops/pallas_field_vjp.py) — activations never leave VMEM
+        from ..ops.pallas_field_vjp import sdf_value_feat_grad_pallas
+
+        sdf, feat, grad = sdf_value_feat_grad_pallas(
+            params["neuconw"]["sdf"], sdf_cfg, pts, act_dtype=fc.act_dtype
+        )
     else:
         sdf, feat, grad = sdf_value_feat_grad(
             params["neuconw"]["sdf"], sdf_cfg, pts, _act(fc)

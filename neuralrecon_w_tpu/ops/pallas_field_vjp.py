@@ -1,0 +1,476 @@
+"""Fused SDF forward+backward (custom VJP) as Pallas TPU kernels.
+
+The training step is HBM-bound on the SDF MLP's stored activations
+(BENCHMARKS.md): the 8x512 net evaluated at ~280k sample points per
+step round-trips ~9 layer activations through HBM in forward, again in
+the input-gradient pass, and twice more in backward. These kernels keep
+everything per point-tile in VMEM:
+
+  * forward kernel -> (sdf, feat, grad); residuals are just the inputs,
+  * backward kernel recomputes the forward + reverse sweep in VMEM and
+    emits d_pts per tile plus dW/db accumulated across the sequential
+    grid (f32 accumulators, zero-initialized at program 0).
+
+The backward math is the hand-derived VJP of ops/field_vjp_math.py,
+verified against jax.grad there; this file is its mechanical Pallas
+port (same loop structure, Mosaic-safe ops only).
+
+Exposed as ``sdf_value_feat_grad_pallas`` — a jax.custom_vjp drop-in
+for models.sdf.sdf_value_feat_grad operating on materialized effective
+weights (the weight-norm (v, g) chain stays differentiable in XLA).
+
+STATUS (round 1): the math is fully verified — interpret-mode tests
+match jax.grad for primals, parameter gradients and input gradients
+(tests/test_pallas_field_vjp.py), and the forward kernel compiles and
+runs on TPU v5e. The BACKWARD kernel currently trips a Mosaic compiler
+bug when compiled ("'vector.broadcast' op failed to verify that source
+operand and result have same element type:
+(f32) -> vector<64x512xbf16>", triggered by the z2 second-order
+accumulation; the f32 variant crashes the AOT compile helper outright).
+grad_mode="pallas" is therefore experimental/off by default; landing
+the compiled path (scalar-constant dtype workarounds or a jax upgrade)
+is the first round-2 task.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mlp import LANE, _round_up
+
+
+# ------------------------- shared in-kernel math -------------------------
+
+
+def _sp(z):
+    zb = z * 100.0
+    return jnp.where(zb > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(zb, 20.0))) / 100.0)
+
+
+def _sp1(z):
+    return jax.nn.sigmoid(z * 100.0)
+
+
+def _sp2(z):
+    sg = jax.nn.sigmoid(z * 100.0)
+    return 100.0 * sg * (1.0 - sg)
+
+
+def _pe_padded(xs, multires, d_pe_pad):
+    feats = [xs]
+    for i in range(multires):
+        feats.append(jnp.sin((2.0**i) * xs))
+        feats.append(jnp.cos((2.0**i) * xs))
+    pe = jnp.concatenate(feats, axis=-1)
+    return jnp.concatenate(
+        [pe, jnp.zeros((xs.shape[0], d_pe_pad - pe.shape[-1]), jnp.float32)],
+        axis=-1,
+    )
+
+
+def _pe_jac_T_padded(xs, multires, g_pe):
+    """Jpe^T on a PADDED pe-width cotangent (pad columns are zero)."""
+    out = g_pe[:, :3]
+    for i in range(multires):
+        f = np.float32(2.0**i)
+        s_off = 3 + 6 * i
+        c_off = 6 + 6 * i
+        out = out + g_pe[:, s_off : s_off + 3] * f * jnp.cos(f * xs)
+        out = out - g_pe[:, c_off : c_off + 3] * f * jnp.sin(f * xs)
+    return out
+
+
+def _pe_jac_padded(xs, multires, t, d_pe_pad):
+    parts = [t]
+    for i in range(multires):
+        f = np.float32(2.0**i)
+        parts.append(t * f * jnp.cos(f * xs))
+        parts.append(-t * f * jnp.sin(f * xs))
+    pe = jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(
+        [pe, jnp.zeros((xs.shape[0], d_pe_pad - pe.shape[-1]), jnp.float32)],
+        axis=-1,
+    )
+
+
+def _pe_jac_x_cot(xs, multires, g_pe, c_grad):
+    dxs = jnp.zeros_like(xs)
+    for i in range(multires):
+        f = np.float32(2.0**i)
+        s_off = 3 + 6 * i
+        c_off = 6 + 6 * i
+        dxs = dxs - g_pe[:, s_off : s_off + 3] * (f * f) * jnp.sin(f * xs) * c_grad
+        dxs = dxs - g_pe[:, c_off : c_off + 3] * (f * f) * jnp.cos(f * xs) * c_grad
+    return dxs
+
+
+def _run_forward(x, w_refs, dims, skip, multires, scale, act, d_pe_pad):
+    """Forward + reverse sweep on padded buffers; returns residual dict.
+
+    All h/pe widths are padded to 128 multiples; the padded weight rows
+    /cols are zero so padded lanes stay exactly zero throughout,
+    including in the reverse sweep.
+    """
+    L = len(dims) - 1
+    c = np.float32(1.0 / np.sqrt(2))
+    xs = x * scale
+    pe = _pe_padded(xs, multires, d_pe_pad)
+
+    us, zs = [], []
+    h = pe.astype(act)
+    pe_a = h
+    for l in range(L):
+        u = (jnp.concatenate([h, pe_a], axis=-1) * c).astype(act) if l in skip else h
+        us.append(u)
+        z = jnp.dot(u, w_refs[2 * l][:].astype(act),
+                    preferred_element_type=jnp.float32) + w_refs[2 * l + 1][:]
+        # store residuals in the activation dtype: the backward recompute
+        # fits VMEM only if these ~40 per-layer buffers are half-width
+        zs.append(z.astype(act))
+        if l < L - 1:
+            h = _sp(z).astype(act)
+    out = zs[-1].astype(jnp.float32)
+
+    col0 = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == 0
+    deltas = [None] * L
+    a_parts = [None] * L
+    deltas[L - 1] = jnp.where(col0, 1.0, 0.0).astype(act)
+    g_pe = jnp.zeros_like(pe)
+    for l in range(L - 1, -1, -1):
+        r = jax.lax.dot_general(
+            deltas[l].astype(act), w_refs[2 * l][:].astype(act),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in skip:
+            g_pe = g_pe + r[:, -d_pe_pad:] * c
+            a = r[:, :-d_pe_pad] * c
+        else:
+            a = r
+        a_parts[l] = a.astype(act)
+        if l > 0:
+            deltas[l - 1] = (a * _sp1(zs[l - 1].astype(jnp.float32))).astype(act)
+        else:
+            g_pe = g_pe + a
+    grad = _pe_jac_T_padded(xs, multires, g_pe)
+    return dict(xs=xs, pe=pe, us=us, zs=zs, out=out, deltas=deltas,
+                a_parts=a_parts, g_pe=g_pe, grad=grad)
+
+
+# ------------------------------ kernels ------------------------------
+
+
+def _fwd_kernel(dims, skip, multires, scale, act, d_pe_pad,
+                x_ref, *refs):
+    L = len(dims) - 1
+    w_refs = refs[: 2 * L]
+    out_ref, grad_ref = refs[-2], refs[-1]
+    res = _run_forward(x_ref[:, :3], w_refs, dims, skip, multires, scale,
+                       act, d_pe_pad)
+    out_ref[:, :] = res["out"]
+    tile = x_ref.shape[0]
+    grad_ref[:, :] = jnp.concatenate(
+        [res["grad"], jnp.zeros((tile, LANE - 3), jnp.float32)], axis=-1
+    )
+
+
+def _bwd_kernel(dims, skip, multires, scale, act, d_pe_pad,
+                x_ref, cout_ref, cgrad_ref, *refs):
+    L = len(dims) - 1
+    w_refs = refs[: 2 * L]
+    dx_ref = refs[2 * L]
+    dW_refs = refs[2 * L + 1 : 2 * L + 1 + 2 * L]
+
+    c = np.float32(1.0 / np.sqrt(2))
+    tile = x_ref.shape[0]
+    res = _run_forward(x_ref[:, :3], w_refs, dims, skip, multires, scale,
+                       act, d_pe_pad)
+    xs, pe = res["xs"], res["pe"]
+    us, zs, deltas, a_parts = res["us"], res["zs"], res["deltas"], res["a_parts"]
+
+    c_out = cout_ref[:, :]
+    c_grad = cgrad_ref[:, :3]
+
+    first = pl.program_id(0) == 0
+
+    # ---- adjoint of the reverse sweep (bottom-up) ----
+    ghat_pe = _pe_jac_padded(xs, multires, c_grad, d_pe_pad)
+    dxs = _pe_jac_x_cot(xs, multires, res["g_pe"], c_grad)
+
+    z2 = [jnp.zeros_like(z) for z in zs]  # act dtype (zeros_like residuals)
+    a_hat = ghat_pe
+    for l in range(0, L):
+        if l == 0:
+            r_hat = a_hat
+        else:
+            dhat = a_hat
+            z_prev = zs[l - 1].astype(jnp.float32)
+            a_l_hat = dhat * _sp1(z_prev)
+            z2[l - 1] = z2[l - 1] + (
+                dhat * a_parts[l].astype(jnp.float32) * _sp2(z_prev)
+            ).astype(act)
+            if l in skip:
+                r_hat = jnp.concatenate([a_l_hat * c, ghat_pe * c], axis=-1)
+            else:
+                r_hat = a_l_hat
+        dw = jax.lax.dot_general(
+            r_hat.astype(act), deltas[l].astype(act),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first)
+        def _init(l=l, dw=dw):
+            dW_refs[2 * l][:, :] = dw
+            dW_refs[2 * l + 1][:, :] = jnp.zeros_like(dW_refs[2 * l + 1])
+
+        @pl.when(jnp.logical_not(first))
+        def _acc(l=l, dw=dw):
+            dW_refs[2 * l][:, :] = dW_refs[2 * l][:, :] + dw
+
+        a_hat = jnp.dot(r_hat.astype(act), w_refs[2 * l][:].astype(act),
+                        preferred_element_type=jnp.float32)
+
+    # ---- backward of F (top-down) with z2 injections ----
+    gamma = c_out
+    pe_hat = jnp.zeros_like(pe)
+    for l in range(L - 1, -1, -1):
+        g_tot = gamma + z2[l].astype(jnp.float32)
+        dw = jax.lax.dot_general(
+            us[l].astype(act), g_tot.astype(act),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(g_tot, axis=0, keepdims=True)
+        dW_refs[2 * l][:, :] = dW_refs[2 * l][:, :] + dw
+        dW_refs[2 * l + 1][:, :] = dW_refs[2 * l + 1][:, :] + db
+        beta = jax.lax.dot_general(
+            g_tot.astype(act), w_refs[2 * l][:].astype(act),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in skip:
+            h_hat = beta[:, :-d_pe_pad] * c
+            pe_hat = pe_hat + beta[:, -d_pe_pad:] * c
+        else:
+            h_hat = beta
+        if l > 0:
+            gamma = h_hat * _sp1(zs[l - 1].astype(jnp.float32))
+        else:
+            pe_hat = pe_hat + h_hat
+
+    dxs = dxs + _pe_jac_T_padded(xs, multires, pe_hat)
+    dx = dxs * scale
+    dx_ref[:, :] = jnp.concatenate(
+        [dx, jnp.zeros((tile, LANE - 3), jnp.float32)], axis=-1
+    )
+
+
+# --------------------------- host wrappers ---------------------------
+
+
+def _pad_weights(weights, biases, dims, skip, d_pe_pad, act_dtype="float32"):
+    """Zero-pad effective weights to the kernel layout (pack_sdf_weights
+    semantics, but from explicit effective matrices)."""
+    packed = []
+    L = len(dims) - 1
+    for l in range(L):
+        w, b = weights[l], biases[l]
+        d_in, d_out = w.shape
+        if l in skip:
+            d_h = dims[l] - dims[0]
+            in_pad = _round_up(d_h, LANE) + d_pe_pad
+            w_p = jnp.zeros((in_pad, _round_up(d_out, LANE)), jnp.float32)
+            w_p = w_p.at[:d_h, :d_out].set(w[:d_h])
+            w_p = w_p.at[_round_up(d_h, LANE):_round_up(d_h, LANE) + dims[0],
+                         :d_out].set(w[d_h:])
+        else:
+            in_pad = d_pe_pad if l == 0 else _round_up(d_in, LANE)
+            w_p = jnp.zeros((in_pad, _round_up(d_out, LANE)), jnp.float32)
+            w_p = w_p.at[:d_in, :d_out].set(w)
+        b_p = jnp.zeros((1, _round_up(d_out, LANE)), jnp.float32)
+        b_p = b_p.at[0, : b.shape[0]].set(b)
+        if act_dtype == "bfloat16":
+            w_p = w_p.astype(jnp.bfloat16)
+        packed.append((w_p, b_p))
+    return packed
+
+
+def _unpad_weight_grads(dWs_p, dbs_p, weights, dims, skip, d_pe_pad):
+    dWs, dbs = [], []
+    L = len(dims) - 1
+    for l in range(L):
+        w = weights[l]
+        d_in, d_out = w.shape
+        if l in skip:
+            d_h = dims[l] - dims[0]
+            top = dWs_p[l][:d_h, :d_out]
+            pe_part = dWs_p[l][_round_up(d_h, LANE):_round_up(d_h, LANE) + dims[0],
+                               :d_out]
+            dWs.append(jnp.concatenate([top, pe_part], axis=0))
+        else:
+            dWs.append(dWs_p[l][:d_in, :d_out])
+        dbs.append(dbs_p[l][0, :d_out])
+    return dWs, dbs
+
+
+@lru_cache(maxsize=None)
+def _fwd_kernel_for(dims, skip, multires, scale, act_dtype, d_pe_pad):
+    act = jnp.bfloat16 if act_dtype == "bfloat16" else jnp.float32
+    return partial(_fwd_kernel, dims, skip, multires, scale, act, d_pe_pad)
+
+
+@lru_cache(maxsize=None)
+def _bwd_kernel_for(dims, skip, multires, scale, act_dtype, d_pe_pad):
+    act = jnp.bfloat16 if act_dtype == "bfloat16" else jnp.float32
+    return partial(_bwd_kernel, dims, skip, multires, scale, act, d_pe_pad)
+
+
+def _weight_specs_ops(packed):
+    specs, ops = [], []
+    for w, b in packed:
+        specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        ops += [w, b]
+    return specs, ops
+
+
+def sdf_fwd_pallas(weights, biases, cfg_static, x, tile=256, interpret=False):
+    """(out, grad): out (N, d_out) = [sdf*scale? no: raw z_L], grad (N, 3)."""
+    dims, skip, multires, scale, act_dtype = cfg_static
+    d_pe_pad = _round_up(dims[0], LANE)
+    d_out_pad = _round_up(dims[-1], LANE)
+    n = x.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:n, :3].set(x)
+
+    packed = _pad_weights(weights, biases, dims, skip, d_pe_pad, act_dtype)
+    w_specs, w_ops = _weight_specs_ops(packed)
+    kernel = _fwd_kernel_for(tuple(dims), tuple(skip), multires, scale,
+                             act_dtype, d_pe_pad)
+    out, grad = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=(
+            pl.BlockSpec((tile, d_out_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, d_out_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x_p, *w_ops)
+    return out[:n, : dims[-1]], grad[:n, :3]
+
+
+def sdf_bwd_pallas(weights, biases, cfg_static, x, c_out, c_grad,
+                   tile=256, interpret=False):
+    """Returns (dWs, dbs, dx) — the hand-derived VJP, fused."""
+    dims, skip, multires, scale, act_dtype = cfg_static
+    L = len(dims) - 1
+    d_pe_pad = _round_up(dims[0], LANE)
+    d_out_pad = _round_up(dims[-1], LANE)
+    n = x.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    x_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:n, :3].set(x)
+    cout_p = jnp.zeros((n_pad, d_out_pad), jnp.float32).at[:n, : dims[-1]].set(c_out)
+    cgrad_p = jnp.zeros((n_pad, LANE), jnp.float32).at[:n, :3].set(c_grad)
+
+    packed = _pad_weights(weights, biases, dims, skip, d_pe_pad, act_dtype)
+    w_specs, w_ops = _weight_specs_ops(packed)
+
+    out_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32)]
+    for w, b in packed:
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+
+    kernel = _bwd_kernel_for(tuple(dims), tuple(skip), multires, scale,
+                             act_dtype, d_pe_pad)
+    results = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_out_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(x_p, cout_p, cgrad_p, *w_ops)
+    dx = results[0][:n, :3]
+    dWs_p = [results[1 + 2 * l] for l in range(L)]
+    dbs_p = [results[2 + 2 * l] for l in range(L)]
+    dWs, dbs = _unpad_weight_grads(dWs_p, dbs_p, weights, dims, skip, d_pe_pad)
+    return dWs, dbs, dx
+
+
+# --------------------------- custom_vjp API ---------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_custom(cfg_static, tile, interpret):
+    @jax.custom_vjp
+    def f(weights, biases, x):
+        out, grad = sdf_fwd_pallas(weights, biases, cfg_static, x, tile,
+                                   interpret)
+        return out, grad
+
+    def fwd(weights, biases, x):
+        return f(weights, biases, x), (weights, biases, x)
+
+    def bwd(resid, cots):
+        weights, biases, x = resid
+        c_out, c_grad = cots
+        dWs, dbs, dx = sdf_bwd_pallas(weights, biases, cfg_static, x,
+                                      c_out, c_grad, tile, interpret)
+        return tuple(dWs), tuple(dbs), dx
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def sdf_value_feat_grad_pallas(params_sdf, cfg, x, act_dtype="float32",
+                               tile=256, interpret=False):
+    """Drop-in for models.sdf.sdf_value_feat_grad backed by the fused
+    forward/backward kernels. Differentiable w.r.t. params and x (the
+    weight-norm materialization stays in XLA and is differentiable)."""
+    from ..models.sdf import _layer_weight, sdf_layer_dims
+
+    dims = tuple(sdf_layer_dims(cfg))
+    skip = tuple(cfg["skip_in"])
+    cfg_static = (dims, skip, int(cfg["multires"]), float(cfg["scale"]),
+                  act_dtype)
+    L = len(dims) - 1
+    weights = tuple(_layer_weight(params_sdf[f"lin{l}"]) for l in range(L))
+    biases = tuple(params_sdf[f"lin{l}"]["b"] for l in range(L))
+
+    shape = x.shape[:-1]
+    flat = x.reshape(-1, 3)
+    f = _make_custom(cfg_static, tile, interpret)
+    out, grad = f(weights, biases, flat)
+    scale = float(cfg["scale"])
+    sdf = out[:, 0] / scale
+    feat = out[:, 1:]
+    return (sdf.reshape(shape), feat.reshape(*shape, dims[-1] - 1),
+            grad.reshape(*shape, 3))
