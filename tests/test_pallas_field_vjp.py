@@ -90,3 +90,38 @@ def test_padding_batch_sizes(setup):
         ),
         gr, gp,
     )
+
+
+def test_split_dw_deep_net():
+    """The backward emits dW across two pallas_call's (VMEM cannot hold
+    all accumulators at once); verify the layer-split path end-to-end on
+    a deep net where both groups are non-trivial (8 layers -> 4+4)."""
+    cfg = dict(d_in=3, d_out=65, d_hidden=64, n_layers=8, skip_in=(4,),
+               multires=6, bias=0.5, scale=1.3, geometric_init=True,
+               weight_norm=True, inside_outside=False)
+    params = init_sdf(jax.random.PRNGKey(3), cfg)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(48, 3).astype(np.float32) * 0.4)
+    c = (jnp.asarray(rs.randn(48).astype(np.float32)),
+         jnp.asarray(rs.randn(48, 64).astype(np.float32)),
+         jnp.asarray(rs.randn(48, 3).astype(np.float32)))
+
+    def loss(fn):
+        def inner(p, xx):
+            s, f, g = fn(p, xx)
+            return jnp.sum(s * c[0]) + jnp.sum(f * c[1]) + jnp.sum(g * c[2])
+        return inner
+
+    gr = jax.grad(loss(lambda p, xx: sdf_value_feat_grad(p, cfg, xx)),
+                  argnums=(0, 1))(params, x)
+    gp = jax.grad(loss(lambda p, xx: sdf_value_feat_grad_pallas(
+        p, cfg, xx, tile=16, interpret=True)), argnums=(0, 1))(params, x)
+
+    def chk(a, b):
+        d = float(jnp.abs(a - b).max())
+        m = float(jnp.abs(a).max())
+        assert d < 3e-4 * max(m, 1.0), (d, m)
+
+    jax.tree.map(chk, gr[0], gp[0])
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               atol=3e-4)
