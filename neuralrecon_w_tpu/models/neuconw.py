@@ -113,13 +113,16 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         sdf, feat, grad = sdf_value_feat_grad_fwdmode(
             params["neuconw"]["sdf"], sdf_cfg, pts
         )
-    elif fc.grad_mode == "pallas":
+    elif fc.grad_mode in ("pallas", "pallas_hybrid"):
         # fused forward/backward kernels with the hand-derived VJP
-        # (ops/pallas_field_vjp.py) — activations never leave VMEM
+        # (ops/pallas_field_vjp.py) — activations never leave VMEM.
+        # "pallas_hybrid" keeps the primal in XLA (fusable into the
+        # color head) and uses the kernel only for the backward.
         from ..ops.pallas_field_vjp import sdf_value_feat_grad_pallas
 
         sdf, feat, grad = sdf_value_feat_grad_pallas(
-            params["neuconw"]["sdf"], sdf_cfg, pts, act_dtype=fc.act_dtype
+            params["neuconw"]["sdf"], sdf_cfg, pts, act_dtype=fc.act_dtype,
+            fwd_impl="xla" if fc.grad_mode == "pallas_hybrid" else "pallas",
         )
     else:
         sdf, feat, grad = sdf_value_feat_grad(

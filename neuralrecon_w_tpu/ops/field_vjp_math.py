@@ -41,8 +41,11 @@ import numpy as np
 
 
 def _sp(z):
+    # exact logaddexp(zb, 0)/beta — bit-matches models.layers.softplus_beta
+    # (the earlier clamped form differed by ~1.5e-6, which the sharp
+    # beta=100 layers amplify ~250x per layer at geometric init)
     zb = z * 100.0
-    return jnp.where(zb > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(zb, 20.0))) / 100.0)
+    return (jnp.maximum(zb, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(zb)))) / 100.0
 
 
 def _sp1(z):

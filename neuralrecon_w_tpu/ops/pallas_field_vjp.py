@@ -70,8 +70,11 @@ from .pallas_mlp import LANE, _round_up
 
 
 def _sp(z):
+    # exact logaddexp(zb, 0)/beta — bit-matches models.layers.softplus_beta
+    # (the earlier clamped form differed by ~1.5e-6, which the sharp
+    # beta=100 layers amplify ~250x per layer at geometric init)
     zb = z * 100.0
-    return jnp.where(zb > 20.0, z, jnp.log1p(jnp.exp(jnp.minimum(zb, 20.0))) / 100.0)
+    return (jnp.maximum(zb, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(zb)))) / 100.0
 
 
 def _sp1(z):
@@ -415,8 +418,13 @@ def sdf_fwd_pallas(weights, biases, cfg_static, x, tile=256, interpret=False):
 
 
 def sdf_bwd_pallas(weights, biases, cfg_static, x, c_out, c_grad,
-                   tile=256, interpret=False):
-    """Returns (dWs, dbs, dx) — the hand-derived VJP, fused."""
+                   tile=256, interpret=False, n_groups=2):
+    """Returns (dWs, dbs, dx) — the hand-derived VJP, fused.
+
+    n_groups: how many pallas_calls the dW emission is split across
+    (each repeats the forward recompute). 2 is safe for the production
+    8x512 f32 config; 1 only fits VMEM with bf16 weight inputs and a
+    small tile."""
     dims, skip, multires, scale, act_dtype = cfg_static
     L = len(dims) - 1
     d_pe_pad = _round_up(dims[0], LANE)
@@ -431,9 +439,12 @@ def sdf_bwd_pallas(weights, biases, cfg_static, x, c_out, c_grad,
     w_specs, w_ops = _weight_specs_ops(packed)
 
     # VMEM cannot hold the input weights AND all dW accumulators, so
-    # the layer set splits across two calls sharing the recompute
-    half = (L + 1) // 2
-    groups = [tuple(range(half)), tuple(range(half, L))]
+    # the layer set splits across n_groups calls sharing the recompute
+    n_groups = max(1, min(n_groups, L))
+    per = -(-L // n_groups)
+    groups = [tuple(range(g * per, min((g + 1) * per, L)))
+              for g in range(n_groups)]
+    groups = [g for g in groups if g]
 
     dWs_p = [None] * L
     dbs_p = [None] * L
@@ -486,10 +497,71 @@ def sdf_bwd_pallas(weights, biases, cfg_static, x, c_out, c_grad,
 # --------------------------- custom_vjp API ---------------------------
 
 
+def _xla_fwd(weights, biases, cfg_static, x):
+    """Plain-XLA (out, grad) over materialized weights — the primal for
+    the hybrid mode. Staying in XLA lets the compiler fuse the forward
+    into its consumers (color head, eikonal), which a pallas_call
+    boundary would block; only the backward (XLA's HBM-heavy
+    second-order transpose) is replaced by the fused kernel."""
+    dims, skip, multires, scale, act_dtype = cfg_static
+    act = jnp.bfloat16 if act_dtype == "bfloat16" else jnp.float32
+    L = len(weights)
+    c = np.float32(1.0 / np.sqrt(2))
+    xs = x * scale
+    feats = [xs]
+    for i in range(multires):
+        feats.append(jnp.sin((2.0**i) * xs))
+        feats.append(jnp.cos((2.0**i) * xs))
+    pe = jnp.concatenate(feats, axis=-1)
+
+    zs = []
+    h = pe.astype(act)
+    pe_a = h
+    for l in range(L):
+        u = (jnp.concatenate([h, pe_a], axis=-1) * c).astype(act) if l in skip else h
+        z = jnp.dot(u, weights[l].astype(act),
+                    preferred_element_type=jnp.float32) + biases[l]
+        zs.append(z)
+        if l < L - 1:
+            h = _sp(z).astype(act)
+    out = zs[-1]
+
+    # reverse sweep for d sdf / d x (first output channel only)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == 0
+    delta = jnp.where(col0, 1.0, 0.0).astype(act)
+    g_pe = jnp.zeros_like(pe)
+    pe_w = pe.shape[-1]
+    for l in range(L - 1, -1, -1):
+        r = jax.lax.dot_general(
+            delta.astype(act), weights[l].astype(act),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in skip:
+            g_pe = g_pe + r[:, -pe_w:] * c
+            a = r[:, :-pe_w] * c
+        else:
+            a = r
+        if l > 0:
+            delta = (a * _sp1(zs[l - 1])).astype(act)
+        else:
+            g_pe = g_pe + a
+    dxs = g_pe[:, :3]
+    for i in range(multires):
+        f = np.float32(2.0**i)
+        s_off = 3 + 6 * i
+        c_off = 6 + 6 * i
+        dxs = dxs + g_pe[:, s_off : s_off + 3] * f * jnp.cos(f * xs)
+        dxs = dxs - g_pe[:, c_off : c_off + 3] * f * jnp.sin(f * xs)
+    return out, dxs
+
+
 @lru_cache(maxsize=None)
-def _make_custom(cfg_static, tile, interpret):
+def _make_custom(cfg_static, tile, interpret, n_groups=2, fwd_impl="pallas"):
     @jax.custom_vjp
     def f(weights, biases, x):
+        if fwd_impl == "xla":
+            return _xla_fwd(weights, biases, cfg_static, x)
         out, grad = sdf_fwd_pallas(weights, biases, cfg_static, x, tile,
                                    interpret)
         return out, grad
@@ -501,7 +573,8 @@ def _make_custom(cfg_static, tile, interpret):
         weights, biases, x = resid
         c_out, c_grad = cots
         dWs, dbs, dx = sdf_bwd_pallas(weights, biases, cfg_static, x,
-                                      c_out, c_grad, tile, interpret)
+                                      c_out, c_grad, tile, interpret,
+                                      n_groups)
         return tuple(dWs), tuple(dbs), dx
 
     f.defvjp(fwd, bwd)
@@ -509,10 +582,22 @@ def _make_custom(cfg_static, tile, interpret):
 
 
 def sdf_value_feat_grad_pallas(params_sdf, cfg, x, act_dtype="float32",
-                               tile=256, interpret=False):
+                               tile=None, interpret=False, n_groups=1,
+                               fwd_impl="pallas"):
     """Drop-in for models.sdf.sdf_value_feat_grad backed by the fused
     forward/backward kernels. Differentiable w.r.t. params and x (the
-    weight-norm materialization stays in XLA and is differentiable)."""
+    weight-norm materialization stays in XLA and is differentiable).
+
+    fwd_impl="xla" keeps the primal in XLA (fusable into the color
+    head) and uses the pallas kernels only for the backward — the
+    hybrid mode.
+
+    Defaults measured on v5e at the production config (131k pts):
+    single-call dW emission (n_groups=1) compiles for both dtypes and
+    wins — bf16 tile 256 = 16.0 ms, f32 tile 128 = 18.1 ms, vs 32.0 ms
+    for the XLA vjp."""
+    if tile is None:
+        tile = 256 if act_dtype == "bfloat16" else 128
     from ..models.sdf import _layer_weight, sdf_layer_dims
 
     dims = tuple(sdf_layer_dims(cfg))
@@ -525,7 +610,7 @@ def sdf_value_feat_grad_pallas(params_sdf, cfg, x, act_dtype="float32",
 
     shape = x.shape[:-1]
     flat = x.reshape(-1, 3)
-    f = _make_custom(cfg_static, tile, interpret)
+    f = _make_custom(cfg_static, tile, interpret, n_groups, fwd_impl)
     out, grad = f(weights, biases, flat)
     scale = float(cfg["scale"])
     sdf = out[:, 0] / scale
