@@ -582,7 +582,7 @@ def _make_custom(cfg_static, tile, interpret, n_groups=2, fwd_impl="pallas"):
 
 
 def sdf_value_feat_grad_pallas(params_sdf, cfg, x, act_dtype="float32",
-                               tile=None, interpret=False, n_groups=1,
+                               tile=None, interpret=False, n_groups=None,
                                fwd_impl="pallas"):
     """Drop-in for models.sdf.sdf_value_feat_grad backed by the fused
     forward/backward kernels. Differentiable w.r.t. params and x (the
@@ -592,12 +592,21 @@ def sdf_value_feat_grad_pallas(params_sdf, cfg, x, act_dtype="float32",
     head) and uses the pallas kernels only for the backward — the
     hybrid mode.
 
-    Defaults measured on v5e at the production config (131k pts):
-    single-call dW emission (n_groups=1) compiles for both dtypes and
-    wins — bf16 tile 256 = 16.0 ms, f32 tile 128 = 18.1 ms, vs 32.0 ms
-    for the XLA vjp."""
+    Defaults measured on v5e (131k pts, value-fetch timing), chosen by
+    net width since VMEM = weights + dW accumulators + per-tile stack:
+      d_hidden<=256: ng1/bf16/t256 = 16.0 ms, ng1/f32/t128 = 18.1 ms
+                     (XLA vjp: 32.0 ms)
+      d_hidden=512 : ng1/bf16/t128 = 31.8 ms (XLA vjp: 59.1 ms);
+                     f32 cannot single-call (8.5 MB weights + 8.5 MB
+                     accumulators alone exceed VMEM) -> ng2/t64."""
+    wide = int(cfg["d_hidden"]) > 256
+    if n_groups is None:
+        n_groups = 2 if (wide and act_dtype != "bfloat16") else 1
     if tile is None:
-        tile = 256 if act_dtype == "bfloat16" else 128
+        if act_dtype == "bfloat16":
+            tile = 128 if wide else 256
+        else:
+            tile = 64 if wide else 128
     from ..models.sdf import _layer_weight, sdf_layer_dims
 
     dims = tuple(sdf_layer_dims(cfg))
