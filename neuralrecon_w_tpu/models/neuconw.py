@@ -109,6 +109,15 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
     with the gradient from one fused vjp instead of a second autograd pass.
     """
     sdf_cfg = fc.sdf_cfg
+    if fc.grad_mode == "pallas_field":
+        # fully-fused field: SDF + gradient + color head, forward AND
+        # backward as Pallas kernels (ops/pallas_field_train.py)
+        from ..ops.pallas_field_train import field_rgb_sdf_grad_pallas
+
+        rgb, sdf, grad = field_rgb_sdf_grad_pallas(
+            params, fc, pts, dirs, a_embedded
+        )
+        return rgb, inv_s(params), sdf, grad
     if fc.grad_mode == "fwd":
         sdf, feat, grad = sdf_value_feat_grad_fwdmode(
             params["neuconw"]["sdf"], sdf_cfg, pts

@@ -221,17 +221,33 @@ def _bwd_kernel(dims, skip, multires, scale, act, d_pe_pad, dw_layers,
         dW_map[l] = (refs[out_iter], refs[out_iter + 1])
         out_iter += 2
 
-    c = np.float32(1.0 / np.sqrt(2))
     tile = x_ref.shape[0]
     res = _run_forward(x_ref[:, :3], w_refs, dims, skip, multires, scale,
                        act, d_pe_pad)
-    xs, pe = res["xs"], res["pe"]
-    us, zs, deltas, a_parts = res["us"], res["zs"], res["deltas"], res["a_parts"]
-
     c_out = cout_ref[:, :]
     c_grad = cgrad_ref[:, :3]
-
     first = pl.program_id(0) == 0
+    dxs = _sdf_backward_body(res, c_out, c_grad, w_refs, dW_map, first,
+                             dims, skip, multires, scale, act, d_pe_pad)
+    if emit_dx:
+        dx = dxs * scale
+        dx_ref[:, :] = jnp.concatenate(
+            [dx, jnp.zeros((tile, LANE - 3), jnp.float32)], axis=-1
+        )
+
+
+def _sdf_backward_body(res, c_out, c_grad, w_refs, dW_map, first,
+                       dims, skip, multires, scale, act, d_pe_pad):
+    """The hand-derived SDF VJP given residuals from _run_forward and
+    cotangents (c_out on the raw padded output, c_grad on dsdf/dx).
+    Accumulates dW/db into the refs in dW_map (keyed by layer index)
+    across the sequential grid and returns the UNSCALED input cotangent
+    dxs (caller multiplies by `scale`). Shared by the standalone SDF
+    backward kernel and the fused field-train kernel."""
+    L = len(dims) - 1
+    c = np.float32(1.0 / np.sqrt(2))
+    xs, pe = res["xs"], res["pe"]
+    us, zs, deltas, a_parts = res["us"], res["zs"], res["deltas"], res["a_parts"]
 
     # ---- adjoint of the reverse sweep (bottom-up) ----
     ghat_pe = _pe_jac_padded(xs, multires, c_grad, d_pe_pad)
@@ -303,12 +319,7 @@ def _bwd_kernel(dims, skip, multires, scale, act, d_pe_pad, dw_layers,
         else:
             pe_hat = pe_hat + h_hat
 
-    if emit_dx:
-        dxs = dxs + _pe_jac_T_padded(xs, multires, pe_hat)
-        dx = dxs * scale
-        dx_ref[:, :] = jnp.concatenate(
-            [dx, jnp.zeros((tile, LANE - 3), jnp.float32)], axis=-1
-        )
+    return dxs + _pe_jac_T_padded(xs, multires, pe_hat)
 
 
 # --------------------------- host wrappers ---------------------------
