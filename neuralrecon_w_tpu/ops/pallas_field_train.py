@@ -227,8 +227,8 @@ def _color_backward(meta, multires_view, n_a, act, cres, x, dirs, a,
     colx = jax.lax.broadcasted_iota(jnp.int32, gx.shape, 1)
     d_xf = jnp.where(colx < xf_w, gx, 0.0)
     pev_w = cres["pev"].shape[-1]
-    d_pev = jax.lax.dynamic_slice_in_dim(g, xf_w, pev_w, axis=1)
-    d_a = jax.lax.dynamic_slice_in_dim(g, xf_w + pev_w, n_a, axis=1)
+    d_pev = g[:, xf_w:xf_w + pev_w]
+    d_a = g[:, xf_w + pev_w:xf_w + pev_w + n_a]
     emit("xyz_final", cres["feat_pad"], d_xf)
     d_feat_pad = back("xyz_final", d_xf)
     # view-PE jacobian transpose back to dirs
@@ -548,7 +548,7 @@ def _make_field_custom(cfg_static, tile, interpret, n_groups):
 
 
 def field_rgb_sdf_grad_pallas(params, fc, pts, dirs, a, tile=None,
-                              interpret=False, n_groups=2):
+                              interpret=False, n_groups=1):
     """(rgb, sdf, grad) with the fully-fused field VJP. Differentiable
     w.r.t. params (through the XLA weight-norm chain), pts, dirs and a.
 
@@ -566,7 +566,9 @@ def field_rgb_sdf_grad_pallas(params, fc, pts, dirs, a, tile=None,
     multires_view = int(dict(fc.color)["multires_view"])
 
     if tile is None:
-        tile = 64 if max(dims) > 256 else 128
+        # measured on v5e at the flagship 8x512 config (131k pts):
+        # t128/n_groups=1 = 45.4ms vs t64/n_groups=2 = 87.1ms
+        tile = 128
     cfg_static = (dims, skip, int(sdf_cfg["multires"]),
                   float(sdf_cfg["scale"]), fc.act_dtype, meta,
                   multires_view, fc.n_a)
