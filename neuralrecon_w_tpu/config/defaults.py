@@ -158,6 +158,14 @@ _CN.TPU.SDF_GRAD_MODE = "vjp"
 # is HBM-bound on stored activations (BENCHMARKS.md); bfloat16 halves
 # that traffic (weights stay f32). Default f32 for exact parity.
 _CN.TPU.FIELD_DTYPE = "float32"
+# True | False — evaluate the background NeRF through the fused Pallas
+# forward + single-call custom-VJP backward (ops/pallas_nerf_bg.py)
+# instead of XLA. Measured SLOWER on v5e (micro fwd+bwd 40.9 ms vs
+# XLA's 26.6 ms at 311k pts, bf16): the 256-wide layers make tiny
+# per-tile GEMMs while XLA runs giant batched ones — the bg pass is
+# MXU-shape-bound, not HBM-bound (BENCHMARKS.md). Kept as a verified
+# alternative mode; default off.
+_CN.TPU.FUSED_BG = False
 
 
 def get_cfg_defaults():

@@ -44,6 +44,10 @@ class FieldConfig(NamedTuple):
     # 'float32' | 'bfloat16' — dtype the hidden activations flow in
     # (weights stay f32; halves the HBM-bound activation traffic)
     act_dtype: str = "float32"
+    # 'xla' | 'pallas' — background-NeRF evaluation path; 'pallas' is
+    # the fused forward + single-call custom-VJP kernel
+    # (ops/pallas_nerf_bg.py)
+    bg_mode: str = "xla"
 
     @property
     def sdf_cfg(self) -> dict:
@@ -57,6 +61,11 @@ class FieldConfig(NamedTuple):
 def field_config_from_cfg(cfg) -> FieldConfig:
     """Build a FieldConfig from the NEUCONW config node."""
     n = cfg.NEUCONW
+    fused_bg = getattr(cfg.TPU, "FUSED_BG", False)
+    if fused_bg == "auto":
+        from ..ops.pallas_mlp import on_tpu
+
+        fused_bg = on_tpu()
     return FieldConfig(
         sdf=tuple(sorted(dict(n.SDF_CONFIG).items())),
         color=tuple(sorted(dict(n.COLOR_CONFIG).items())),
@@ -67,6 +76,7 @@ def field_config_from_cfg(cfg) -> FieldConfig:
         encode_a_bg=bool(n.ENCODE_A_BG),
         grad_mode=str(getattr(cfg.TPU, "SDF_GRAD_MODE", "vjp")),
         act_dtype=str(getattr(cfg.TPU, "FIELD_DTYPE", "float32")),
+        bg_mode="pallas" if fused_bg else "xla",
     )
 
 
@@ -161,5 +171,10 @@ def field_rgb(params, fc: FieldConfig, pts, dirs, a_embedded):
 def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded):
     """Background NeRF evaluation; pts4 (N, 4) inverted-sphere coords."""
     a = a_embedded if fc.encode_a_bg else None
+    if fc.bg_mode == "pallas":
+        from ..ops.pallas_nerf_bg import nerf_bg_pallas
+
+        return nerf_bg_pallas(params["nerf_bg"], fc.encode_a_bg, pts4,
+                              dirs, a, act_dtype=fc.act_dtype)
     return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a,
                          act_dtype=_act(fc))
