@@ -6,14 +6,26 @@ from every training camera, back-project valid depths, and keep target
 vertices observed from at least one view — removing hallucinated
 geometry never seen by any camera before scoring.
 
-TPU-native redesign: vertices are voxelized into the sparse occupancy
-grid and every camera's pixel rays are marched with the DDA traversal
-kernel (ops/ray_voxel.py) in one batched device call per view; a hit
-pixel contributes the morton code of its first intersected voxel. A
-vertex survives if its voxel code was hit from any view — the voxel-id
-index-set match of the reference's kaolin path
-(reference utils/kaolin_renderer.py:110-141, reproj_filter.py:202-243).
-View-level parallelism is the device batch, not `ray` actors.
+TPU-native redesign, both reference modes:
+
+* **mesh mode** (faces present, like the reference's trimesh/pyrender
+  branch, reproj_filter.py:101-110): a native z-buffer triangle
+  rasterizer (csrc/geometry.cpp nw_rasterize_depth; numpy fallback)
+  renders per-view depth, valid pixels are back-projected to world
+  points (reproject(), reproj_filter.py:133-152), and target vertices
+  within 2*sqrt(2)*voxel_size of any back-projected point survive
+  (the KD-tree match at reproj_filter.py:236-241, scipy cKDTree).
+* **point-cloud mode** (no faces): vertices are voxelized into the
+  sparse occupancy grid and every camera's pixel rays are marched with
+  the DDA traversal kernel (ops/ray_voxel.py) in one batched device
+  call per view; a hit pixel contributes the morton code of its first
+  intersected voxel. A vertex survives if its voxel code was hit from
+  any view — the voxel-id index-set match of the reference's kaolin
+  path (reference utils/kaolin_renderer.py:110-141,
+  reproj_filter.py:202-243).
+
+View-level parallelism is the device batch / vectorized raster, not
+`ray` actors.
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ import numpy as np
 
 from ..datasets.rays import get_ray_directions, get_rays
 from ..ops.morton import points_to_morton
+from ..ops.native import rasterize_depth_native
 from ..ops.ray_voxel import DeviceGrid, dda_traverse, device_grid_from_host
 from ..ops.voxel_grid import VoxelGrid, _sort_coords, level_for_voxel_size
 
@@ -123,39 +136,130 @@ def voxel_depth_map(
     return depth.reshape(h, w)
 
 
+def _rasterize_depth_numpy(verts, faces, c2w, K, width, height,
+                           znear=1e-4):
+    """Per-face-loop z-buffer rasterizer — fallback when the native
+    library (csrc/geometry.cpp nw_rasterize_depth) is absent. Same
+    conventions: NeRF c2w in, CV z-depth out (0 = miss)."""
+    R = np.asarray(c2w, np.float64)[:3, :3]
+    t = np.asarray(c2w, np.float64)[:3, 3]
+    cam = (verts - t) @ R  # R^T (X - t), rows
+    cam = cam * np.array([1.0, -1.0, -1.0])  # CV: z forward
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    zbuf = np.full((height, width), np.inf, np.float32)
+    tri = cam[np.asarray(faces, np.int64)]  # (F, 3, 3)
+    # conservative near-plane handling: drop faces with any vertex
+    # behind znear (the native path clips properly)
+    ok = (tri[:, :, 2] > znear).all(axis=1)
+    for a, b, c in tri[ok]:
+        pa = np.array([fx * a[0] / a[2] + cx, fy * a[1] / a[2] + cy])
+        pb = np.array([fx * b[0] / b[2] + cx, fy * b[1] / b[2] + cy])
+        pc = np.array([fx * c[0] / c[2] + cx, fy * c[1] / c[2] + cy])
+        area = (pb[0] - pa[0]) * (pc[1] - pa[1]) - (pb[1] - pa[1]) * (pc[0] - pa[0])
+        if abs(area) < 1e-12:
+            continue
+        x0 = max(int(np.floor(min(pa[0], pb[0], pc[0]))), 0)
+        x1 = min(int(np.ceil(max(pa[0], pb[0], pc[0]))), width - 1)
+        y0 = max(int(np.floor(min(pa[1], pb[1], pc[1]))), 0)
+        y1 = min(int(np.ceil(max(pa[1], pb[1], pc[1]))), height - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        w0 = ((pb[0] - xs) * (pc[1] - ys) - (pb[1] - ys) * (pc[0] - xs)) / area
+        w1 = ((pc[0] - xs) * (pa[1] - ys) - (pc[1] - ys) * (pa[0] - xs)) / area
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        iz = w0 / a[2] + w1 / b[2] + w2 / c[2]
+        z = np.where(inside, 1.0 / np.maximum(iz, 1e-12), np.inf).astype(np.float32)
+        patch = zbuf[y0:y1 + 1, x0:x1 + 1]
+        np.minimum(patch, z, out=patch)
+    return np.where(np.isinf(zbuf), 0.0, zbuf)
+
+
+def mesh_depth_map(verts, faces, K, c2w, img_wh, znear=1e-4):
+    """(h, w) z-buffer depth of the mesh from one training camera —
+    the reference's pyrender/EGL offscreen render
+    (utils/pyrender_renderer.py:4-39). 0 = miss."""
+    w, h = img_wh
+    d = rasterize_depth_native(verts, faces, c2w, K, w, h, znear)
+    if d is None:
+        d = _rasterize_depth_numpy(verts, faces, c2w, K, w, h, znear)
+    return d
+
+
+def backproject_depth(depth, K, c2w):
+    """Valid depth pixels -> world points (reference reproject(),
+    utils/reproj_filter.py:133-152): pc_cam = K^-1 [u, v, 1]^T * z."""
+    h, w = depth.shape
+    v, u = np.nonzero(depth > 0)
+    if len(u) == 0:
+        return np.zeros((0, 3), np.float64)
+    z = depth[v, u].astype(np.float64)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    cam = np.stack([x, -y, -z], axis=-1)  # CV -> NeRF camera frame
+    R = np.asarray(c2w, np.float64)[:3, :3]
+    t = np.asarray(c2w, np.float64)[:3, 3]
+    return cam @ R.T + t
+
+
 def reprojection_filter(
     verts: np.ndarray,
     faces: np.ndarray | None,
     cameras: list,
     voxel_size: float,
     chunk: int = 262144,
+    target_verts: np.ndarray | None = None,
 ):
     """Keep vertices observed from >= 1 training view.
 
+    Mesh mode (faces present): rasterize the mesh depth per view,
+    back-project, KD-tree match target vertices within
+    2*sqrt(2)*voxel_size (reference utils/reproj_filter.py:236-241).
+    Point-cloud mode (no faces): DDA voxel-hit-code matching.
+
     Args:
-        verts: (V, 3) SFM-frame vertices of the mesh/point cloud.
-        faces: optional faces (kept for the output mesh; filtering is
-            vertex-based like the reference's pc mode).
+        verts: (V, 3) SFM-frame vertices of the mesh/point cloud — both
+            the render source and (by default) the filter target, like
+            the reference's src_file == target_file usage.
+        faces: optional (F, 3) triangle indices.
         cameras: [(K 3x3, c2w 3x4, (w, h))] for every training image.
-        voxel_size: match radius in SFM units (the reference matches by
-            voxel id at the octree's own resolution).
-    Returns (kept_verts, kept_faces, keep_mask).
+        voxel_size: match radius scale in SFM units (the reference
+            matches by voxel id / 2*sqrt(2)*voxel_size KD radius).
+        target_verts: optional distinct target vertex set to filter
+            (reference --target_file); defaults to `verts`.
+    Returns (kept_verts, kept_faces, keep_mask) over the target set.
     """
-    grid = voxelize_points(verts, voxel_size)
-    dgrid = device_grid_from_host(grid)
+    target = verts if target_verts is None else target_verts
 
-    observed = np.zeros(0, np.int64)
-    for K, c2w, wh in cameras:
-        codes = render_hit_codes(dgrid, grid, K, c2w, wh, chunk)
-        observed = np.union1d(observed, codes)
-
-    vcodes = vertex_voxel_codes(grid, verts)
-    keep = np.isin(vcodes, observed)
-
-    kept_verts = verts[keep]
-    kept_faces = None
     if faces is not None and len(faces):
-        remap = -np.ones(len(verts), np.int64)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(target)
+        radius = 2.0 * np.sqrt(2.0) * voxel_size
+        keep = np.zeros(len(target), bool)
+        for K, c2w, wh in cameras:
+            depth = mesh_depth_map(verts, faces, K, c2w, wh)
+            pts = backproject_depth(depth, K, c2w)
+            if not len(pts):
+                continue
+            d, idx = tree.query(pts, k=1, distance_upper_bound=radius)
+            keep[idx[np.isfinite(d)]] = True
+    else:
+        grid = voxelize_points(verts, voxel_size)
+        dgrid = device_grid_from_host(grid)
+        observed = np.zeros(0, np.int64)
+        for K, c2w, wh in cameras:
+            codes = render_hit_codes(dgrid, grid, K, c2w, wh, chunk)
+            observed = np.union1d(observed, codes)
+        vcodes = vertex_voxel_codes(grid, target)
+        keep = np.isin(vcodes, observed)
+
+    kept_verts = target[keep]
+    kept_faces = None
+    if faces is not None and len(faces) and target_verts is None:
+        remap = -np.ones(len(target), np.int64)
         remap[keep] = np.arange(keep.sum())
         f = remap[faces]
         kept_faces = f[(f >= 0).all(axis=1)]

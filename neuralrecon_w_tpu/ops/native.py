@@ -45,6 +45,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "nw_rasterize_depth"):
+        lib.nw_rasterize_depth.restype = None
+        lib.nw_rasterize_depth.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
+        ]
     _LIB = lib
     return _LIB
 
@@ -76,6 +86,30 @@ def expand_quantize(points: np.ndarray, origin: np.ndarray, scale: float,
         if n >= 0:
             return out[:n]
         cap *= 2
+
+
+def rasterize_depth_native(verts: np.ndarray, faces: np.ndarray,
+                           c2w: np.ndarray, K: np.ndarray,
+                           width: int, height: int,
+                           znear: float = 1e-4) -> np.ndarray | None:
+    """(h, w) z-buffer depth of a mesh from a NeRF-convention camera
+    (0 = miss), or None when the library is absent/outdated."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nw_rasterize_depth"):
+        return None
+    v = np.ascontiguousarray(verts, np.float64)
+    f = np.ascontiguousarray(faces, np.int64)
+    pose = np.ascontiguousarray(np.asarray(c2w, np.float64)[:3, :4])
+    depth = np.zeros(int(height) * int(width), np.float32)
+    lib.nw_rasterize_depth(
+        _ptr(v, ctypes.c_double), len(v),
+        _ptr(f, ctypes.c_int64), len(f),
+        _ptr(pose, ctypes.c_double),
+        float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2]),
+        int(width), int(height), float(znear),
+        _ptr(depth, ctypes.c_float),
+    )
+    return depth.reshape(int(height), int(width))
 
 
 def marching_tetrahedra_native(sdf: np.ndarray, level: float = 0.0,

@@ -203,3 +203,104 @@ def test_reprojection_filter_removes_hidden_points():
     frac_surf = mask[: len(surf)].mean()
     assert frac_surf > 0.6, frac_surf
     assert not mask[len(surf):].any(), "occluded center points must be filtered"
+
+
+def _ring_cameras(n=6, dist=4.0, K=None, wh=(48, 36)):
+    if K is None:
+        K = np.array([[40.0, 0, 24], [0, 40.0, 18], [0, 0, 1]])
+    cameras = []
+    for ang in np.linspace(0, 2 * np.pi, n, endpoint=False):
+        eye = np.array([np.cos(ang) * dist, np.sin(ang) * dist, 0.0])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        down = np.cross(fwd, right)
+        c2w = np.stack([right, -down, -fwd], axis=1)
+        c2w = np.concatenate([c2w, eye[:, None]], axis=1)
+        cameras.append((K, c2w, wh))
+    return cameras
+
+
+def _sphere_mesh(dim=24, r=0.6):
+    from neuralrecon_w_tpu.ops.isosurface import marching_tetrahedra
+
+    ax = np.linspace(-1, 1, dim)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - r
+    verts, faces = marching_tetrahedra(sdf)
+    return verts * (2.0 / (dim - 1)) - 1.0, faces
+
+
+def test_mesh_depth_map_matches_analytic_sphere():
+    """Rasterized depth of a sphere mesh ~ analytic ray-sphere depth
+    (the reference's pyrender z-buffer, utils/pyrender_renderer.py)."""
+    from neuralrecon_w_tpu.evaluation.reproj_filter import mesh_depth_map
+
+    verts, faces = _sphere_mesh()
+    (K, c2w, wh) = _ring_cameras(1)[0]
+    depth = mesh_depth_map(verts, faces, K, c2w, wh)
+    h, w = depth.shape
+    assert (w, h) == wh
+
+    # center pixel ray passes through the sphere center: z = dist - r
+    cx, cy = int(K[0, 2]), int(K[1, 2])
+    center = depth[cy, cx]
+    assert abs(center - (4.0 - 0.6)) < 0.08, center
+    # corners miss the sphere
+    assert depth[0, 0] == 0.0 and depth[-1, -1] == 0.0
+    # hit fraction ~ projected disk area
+    frac = (depth > 0).mean()
+    assert 0.02 < frac < 0.5, frac
+
+
+def test_rasterizer_native_matches_numpy():
+    from neuralrecon_w_tpu.evaluation.reproj_filter import (
+        _rasterize_depth_numpy,
+    )
+    from neuralrecon_w_tpu.ops.native import rasterize_depth_native
+
+    verts, faces = _sphere_mesh(dim=16)
+    (K, c2w, wh) = _ring_cameras(1)[0]
+    d_native = rasterize_depth_native(verts, faces, c2w, K, wh[0], wh[1])
+    if d_native is None:
+        pytest.skip("native geometry library not built")
+    d_numpy = _rasterize_depth_numpy(verts, faces, c2w, K, wh[0], wh[1])
+    # pixels exactly on a triangle edge may flip inclusion between the
+    # two implementations (FMA rounding under -march=native); depths
+    # must agree everywhere else
+    disagree = np.abs(d_native - d_numpy) > 1e-4
+    assert disagree.sum() <= max(3, int(0.002 * d_native.size)), disagree.sum()
+    assert ((d_native > 0) & (d_numpy > 0)).sum() > 20
+
+
+def test_reprojection_filter_mesh_mode():
+    """Mesh mode: surface vertices seen by the camera ring survive;
+    interior target points (occluded by the mesh from every view) drop
+    (reference mesh branch, utils/reproj_filter.py:101-110,236-241)."""
+    verts, faces = _sphere_mesh()
+    hidden = np.zeros((5, 3))
+    target = np.concatenate([verts, hidden])
+
+    # resolution matters: each back-projected pixel marks one nearest
+    # vertex (reference k=1 KD search), so pixels must outnumber verts
+    K = np.array([[160.0, 0, 96], [0, 160.0, 72], [0, 0, 1]])
+    cameras = _ring_cameras(6, K=K, wh=(192, 144))
+    kept, _, mask = reprojection_filter(
+        verts, faces, cameras, voxel_size=0.02, target_verts=target
+    )
+    frac_surf = mask[: len(verts)].mean()
+    assert frac_surf > 0.7, frac_surf
+    assert not mask[len(verts):].any(), "interior points must be filtered"
+
+
+def test_reprojection_filter_mesh_mode_remaps_faces():
+    verts, faces = _sphere_mesh()
+    K = np.array([[160.0, 0, 96], [0, 160.0, 72], [0, 0, 1]])
+    cameras = _ring_cameras(6, K=K, wh=(192, 144))
+    kept, kept_faces, mask = reprojection_filter(
+        verts, faces, cameras, voxel_size=0.02
+    )
+    assert kept_faces is not None
+    if len(kept_faces):
+        assert kept_faces.max() < len(kept)
+    assert mask.mean() > 0.7
