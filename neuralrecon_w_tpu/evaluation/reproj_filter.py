@@ -211,6 +211,7 @@ def reprojection_filter(
     voxel_size: float,
     chunk: int = 262144,
     target_verts: np.ndarray | None = None,
+    workers: int = 0,
 ):
     """Keep vertices observed from >= 1 training view.
 
@@ -229,6 +230,10 @@ def reprojection_filter(
             matches by voxel id / 2*sqrt(2)*voxel_size KD radius).
         target_verts: optional distinct target vertex set to filter
             (reference --target_file); defaults to `verts`.
+        workers: >0 parallelizes per-view work with a thread pool (the
+            native rasterizer and scipy release the GIL) — the
+            host-concurrency replacement for the reference's `ray`
+            actors (reference utils/reproj_filter.py:172,277-288).
     Returns (kept_verts, kept_faces, keep_mask) over the target set.
     """
     target = verts if target_verts is None else target_verts
@@ -239,13 +244,25 @@ def reprojection_filter(
         tree = cKDTree(target)
         radius = 2.0 * np.sqrt(2.0) * voxel_size
         keep = np.zeros(len(target), bool)
-        for K, c2w, wh in cameras:
+
+        def view_hits(cam):
+            K, c2w, wh = cam
             depth = mesh_depth_map(verts, faces, K, c2w, wh)
             pts = backproject_depth(depth, K, c2w)
             if not len(pts):
-                continue
+                return np.zeros(0, np.int64)
             d, idx = tree.query(pts, k=1, distance_upper_bound=radius)
-            keep[idx[np.isfinite(d)]] = True
+            return idx[np.isfinite(d)]
+
+        if workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for idx in pool.map(view_hits, cameras):
+                    keep[idx] = True
+        else:
+            for cam in cameras:
+                keep[view_hits(cam)] = True
     else:
         grid = voxelize_points(verts, voxel_size)
         dgrid = device_grid_from_host(grid)

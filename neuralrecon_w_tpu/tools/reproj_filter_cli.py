@@ -22,6 +22,8 @@ def get_opts(argv=None):
     parser.add_argument("--voxel_size", type=float, default=None,
                         help="match voxel size; default scene voxel_size")
     parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=0,
+                        help="thread-parallel views (mesh mode)")
     return parser.parse_args(argv)
 
 
@@ -45,7 +47,7 @@ def main(argv=None):
     verts = data["verts"]
     faces = data.get("faces")
     kept_verts, kept_faces, mask = reprojection_filter(
-        verts, faces, cameras, voxel
+        verts, faces, cameras, voxel, workers=args.workers
     )
     out_dir = args.out_dir or os.path.dirname(args.src_file)
     os.makedirs(out_dir, exist_ok=True)

@@ -293,6 +293,16 @@ def test_reprojection_filter_mesh_mode():
     assert not mask[len(verts):].any(), "interior points must be filtered"
 
 
+def test_reprojection_filter_mesh_mode_workers_match_serial():
+    verts, faces = _sphere_mesh(dim=16)
+    K = np.array([[160.0, 0, 96], [0, 160.0, 72], [0, 0, 1]])
+    cameras = _ring_cameras(4, K=K, wh=(192, 144))
+    _, _, m0 = reprojection_filter(verts, faces, cameras, voxel_size=0.02)
+    _, _, m4 = reprojection_filter(verts, faces, cameras, voxel_size=0.02,
+                                   workers=4)
+    np.testing.assert_array_equal(m0, m4)
+
+
 def test_reprojection_filter_mesh_mode_remaps_faces():
     verts, faces = _sphere_mesh()
     K = np.array([[160.0, 0, 96], [0, 160.0, 72], [0, 0, 1]])
