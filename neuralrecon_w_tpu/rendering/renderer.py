@@ -216,7 +216,8 @@ def sparse_sampler(
                 )
 
     # boundary guards around the surface band (each piece is sorted, so
-    # two sort-free merges replace the row sort)
+    # two sort-free merges replace the reference's row sort,
+    # reference rendering/renderer.py:549-566)
     if fine_grid is not None and rcfg.boundary_samples > 0:
         bn = rcfg.boundary_samples // 2
         bf = rcfg.boundary_samples - bn
@@ -224,6 +225,14 @@ def sparse_sampler(
         far_lin = jnp.linspace(0.0, 1.0, bf + 1)[1:]
         bound_near = near + (z_vals[:, :1] - near) * near_lin[None, :]
         bound_far = z_vals[:, -1:] + (far - z_vals[:, -1:]) * far_lin[None, :]
+        # the fine-grid band may start before the cached near (or end
+        # past far): those rows' linspaces run DESCENDING, which the
+        # reference's torch.sort absorbs but a merge must not — flip
+        # them so every block is ascending (same point set)
+        bound_near = jnp.where(z_vals[:, :1] >= near, bound_near,
+                               jnp.flip(bound_near, -1))
+        bound_far = jnp.where(far >= z_vals[:, -1:], bound_far,
+                              jnp.flip(bound_far, -1))
         z_vals = merge_sorted(merge_sorted(bound_near, z_vals), bound_far)
 
     return z_vals, z_vals_outside, sample_dist

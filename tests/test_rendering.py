@@ -153,6 +153,38 @@ def test_render_rays_shapes_and_sanity(with_fine):
     assert np.asarray(out["mask_error"]).shape == (r, 1)
 
 
+def test_sampler_sorted_when_band_exceeds_near_far():
+    """The fine-grid surface band can start before the cached near or
+    end past far; the boundary-sample blocks then run descending and
+    must be flipped before the sort-free merge (the reference instead
+    re-sorts, reference rendering/renderer.py:565). Regression for the
+    NaN-at-first-refresh bug found in the synthetic convergence run."""
+    from neuralrecon_w_tpu.rendering.renderer import sparse_sampler
+
+    params, fc, rcfg, scene, grid = small_setup(with_fine_grid=True)
+    rays, ts, labels = make_rays()
+    rays_o = (rays[:, 0:3] - scene.origin) / scene.radius
+    # tight near/far bracket fully inside the surface band -> BOTH
+    # boundary blocks descending
+    near = jnp.full((rays.shape[0], 1), 1.45)
+    far = jnp.full((rays.shape[0], 1), 1.55)
+    z, z_out, sd = sparse_sampler(
+        params, fc, rcfg, scene, rays_o, rays[:, 3:6], near, far,
+        jax.random.PRNGKey(0), grid, None, 1.0,
+    )
+    dz = np.diff(np.asarray(z), axis=-1)
+    assert np.all(dz >= 0), f"unsorted z_vals: min spacing {dz.min()}"
+    # wide bracket: band starts after near and ends before far ->
+    # ascending blocks (the old fast path) still sorted
+    z2, _, _ = sparse_sampler(
+        params, fc, rcfg, scene, rays_o, rays[:, 3:6],
+        jnp.full_like(near, 0.05), jnp.full_like(far, 4.0),
+        jax.random.PRNGKey(0), grid, None, 1.0,
+    )
+    dz2 = np.diff(np.asarray(z2), axis=-1)
+    assert np.all(dz2 >= 0), f"unsorted z_vals: min spacing {dz2.min()}"
+
+
 def test_render_rays_no_background():
     params, fc, rcfg, scene, _ = small_setup(n_outside=0)
     rcfg = rcfg._replace(n_outside=0, render_bg=False)
