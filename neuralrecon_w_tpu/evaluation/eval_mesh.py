@@ -90,6 +90,13 @@ def eval_mesh(
         verts_pred = voxel_point_crop(verts_pred, sfm_filtered, voxel, bbx)
         verts_trgt = voxel_point_crop(verts_trgt, sfm_filtered, voxel, bbx)
 
+    if len(verts_pred) == 0 or len(verts_trgt) == 0:
+        print(
+            f"eval_mesh: empty point set after cropping "
+            f"(pred={len(verts_pred)}, gt={len(verts_trgt)}) — the "
+            f"prediction lies outside {bbx_name}; scoring as zero overlap"
+        )
+
     # dist1: gt -> pred (recall); dist2: pred -> gt (precision)
     _, dist1 = nn_distances(verts_trgt, verts_pred)
     _, dist2 = nn_distances(verts_pred, verts_trgt)

@@ -75,13 +75,22 @@ def compute_prf(dist_gt_to_pred: np.ndarray, dist_pred_to_gt: np.ndarray,
                 threshold: float) -> dict:
     """precision/recall/fscore + chamfer means at one threshold
     (reference _compute, eval_utils.py:87-100: dist1 arg = gt->pred
-    distances, dist2 = pred->gt; precision from pred->gt)."""
-    precision = max(float(np.mean(dist_pred_to_gt < threshold)), 1e-6)
-    recall = max(float(np.mean(dist_gt_to_pred < threshold)), 1e-6)
+    distances, dist2 = pred->gt; precision from pred->gt). An empty
+    distance set (every point on that side cropped away) scores as
+    zero matches / infinite chamfer rather than propagating NaN."""
+
+    def _frac_below(d):
+        return float(np.mean(d < threshold)) if len(d) else 0.0
+
+    def _mean(d):
+        return float(np.mean(d)) if len(d) else float("inf")
+
+    precision = max(_frac_below(dist_pred_to_gt), 1e-6)
+    recall = max(_frac_below(dist_gt_to_pred), 1e-6)
     fscore = 2 * precision * recall / (precision + recall)
     return {
-        "dist1": float(np.mean(dist_pred_to_gt)),
-        "dist2": float(np.mean(dist_gt_to_pred)),
+        "dist1": _mean(dist_pred_to_gt),
+        "dist2": _mean(dist_gt_to_pred),
         "prec": precision,
         "recal": recall,
         "fscore": fscore,

@@ -47,6 +47,23 @@ def surface_selection(
     centers_unit = (centers_sfm - scene_origin) / scene_radius
     sdf = sharded_sdf_sweep(params, fc, centers_unit.astype(np.float32), mesh, chunk)
     keep = sdf <= sdf_threshold
+    kept_frac = float(np.count_nonzero(keep)) / max(len(keep), 1)
+    if kept_frac > 0.9:
+        # a near-total keep means the SDF has no meaningful zero set
+        # inside the candidate region (e.g. the level-shifted
+        # all-negative basin): installing this grid recenters every ray
+        # band on the region boundary. This is the earliest observable
+        # signal of a geometry collapse that rendering losses cannot
+        # see — warn loudly (observed on the synthetic fixture with
+        # weak depth anchoring, see STATUS.md).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "surface refresh kept %.0f%% of candidate voxels — the SDF "
+            "zero set is degenerate (all-negative level shift?); "
+            "check depth/mask supervision strength",
+            100.0 * kept_frac,
+        )
     return centers_sfm[keep], centers_unit[keep]
 
 

@@ -21,6 +21,8 @@ import yaml
 
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nw_synth_conv"
+    # loss/schedule overrides: KEY=VALUE pairs after the workdir
+    overrides = dict(kv.split("=", 1) for kv in sys.argv[2:])
     root = os.path.join(work, "sphere_scene")
     os.makedirs(root, exist_ok=True)
 
@@ -62,7 +64,16 @@ def main():
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
         "TPU": {"FIELD_DTYPE": "bfloat16"},
     }
-    cfg_path = os.path.join(work, "train_sphere.yaml")
+    exp = overrides.pop("EXP", "conv")
+    steps = overrides.pop("STEPS", "3000")
+    for k, v in overrides.items():
+        node = cfg
+        *path, leaf = k.split(".")
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = yaml.safe_load(v)
+
+    cfg_path = os.path.join(work, f"train_sphere_{exp}.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
 
@@ -72,11 +83,11 @@ def main():
     trainer = train_main([
         "--cfg_path", cfg_path, "--batch_size", "2048",
         "--test_batch_size", "512", "--num_epochs", "100",
-        "--max_steps", "3000", "--exp_name", "conv", "--save_dir", save_dir,
+        "--max_steps", steps, "--exp_name", exp, "--save_dir", save_dir,
     ])
     print("train done at step", int(trainer.state.step), flush=True)
 
-    log = os.path.join(save_dir, "conv", "logs", "metrics.jsonl")
+    log = os.path.join(save_dir, exp, "logs", "metrics.jsonl")
     rows = [json.loads(l) for l in open(log)]
     tr = [r for r in rows if "loss" in r]
     print("loss trajectory:", [round(r["loss"], 3) for r in tr[::10]][:40],
@@ -93,8 +104,8 @@ def main():
     from neuralrecon_w_tpu.evaluation import eval_mesh
     from neuralrecon_w_tpu.utils.ply import write_ply
 
-    ck = latest_checkpoint(os.path.join(save_dir, "conv", "checkpoints"))
-    out = os.path.join(work, "mesh.ply")
+    ck = latest_checkpoint(os.path.join(save_dir, exp, "checkpoints"))
+    out = os.path.join(work, f"mesh_{exp}.ply")
     extract_main(["--cfg_path", cfg_path, "--ckpt_path", ck,
                   "--mesh_size", "128", "--chunk", "65536",
                   "--out", out])
@@ -104,7 +115,7 @@ def main():
     gt_path = os.path.join(work, "gt.ply")
     write_ply(gt_path, v * info["sphere_radius"])
     res = eval_mesh(out, gt_path, info["scene_config"], is_mesh=True,
-                    threshold=[0.05, 0.1, 0.2], save_name="conv",
+                    threshold=[0.05, 0.1, 0.2], save_name=exp,
                     write_visualizations=False)
     print("F-scores @ [0.05, 0.1, 0.2]:",
           [round(f, 4) for f in res["fscores"]], flush=True)

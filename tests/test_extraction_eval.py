@@ -141,6 +141,16 @@ def test_nn_distances_and_prf():
     assert m["fscore"] == pytest.approx(0.5)
 
 
+def test_prf_empty_side_is_zero_not_nan():
+    # prediction entirely cropped away: both distance sets come back
+    # empty (nn_distances returns empty when the target set is empty);
+    # the score must degrade to the 1e-6 floor, never NaN.
+    m = compute_prf(np.zeros(0), np.zeros(0), threshold=0.1)
+    assert m["fscore"] == pytest.approx(1e-6)
+    assert m["dist1"] == float("inf") and m["dist2"] == float("inf")
+    assert not any(np.isnan(v) for v in m.values())
+
+
 def test_bbx_and_voxel_crop():
     pts = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9], [5, 5, 5]], float)
     kept = bbx_crop(pts, [[-1, -1, -1], [1, 1, 1]])
