@@ -16,6 +16,7 @@ measurement). The north-star target is vs_baseline >= 5.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -26,9 +27,11 @@ A100_REFERENCE_RAYS_PER_SEC = 20_000.0
 # 8192 amortizes dispatch and fills the chip; 16384 exceeds HBM without
 # rematerialization (see BENCHMARKS.md). The global batch is sharded
 # across chips; the LR linear-scaling rule covers optimization dynamics.
-BATCH = 8192
+# NW_BENCH_* env knobs exist for perf sweeps (scripts/exp_perf_sweep.sh)
+# and leave the driver-facing default contract unchanged.
+BATCH = int(os.environ.get("NW_BENCH_BATCH", 8192))
 WARMUP = 3
-ITERS = 30
+ITERS = int(os.environ.get("NW_BENCH_ITERS", 30))
 
 
 def main():
@@ -46,6 +49,16 @@ def main():
     # Convergence verified equal to f32 on the synthetic scene
     # (BENCHMARKS.md); flip TPU.FIELD_DTYPE to float32 for exact parity.
     cfg.TPU.FIELD_DTYPE = "bfloat16"
+    for kv in os.environ.get("NW_BENCH_CFG", "").split(";"):
+        if kv:
+            k, v = kv.split("=", 1)
+            import yaml
+
+            node = cfg
+            *path, leaf = k.split(".")
+            for p in path:
+                node = getattr(node, p)
+            setattr(node, leaf, yaml.safe_load(v))
     fc = field_config_from_cfg(cfg)
     rcfg = render_config_from_cfg(cfg)
     lcfg = loss_config_from_cfg(cfg)

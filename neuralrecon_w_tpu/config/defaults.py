@@ -166,6 +166,10 @@ _CN.TPU.FIELD_DTYPE = "float32"
 # MXU-shape-bound, not HBM-bound (BENCHMARKS.md). Kept as a verified
 # alternative mode; default off.
 _CN.TPU.FUSED_BG = False
+# point-tile override for the fused field kernels (-1 = measured
+# per-width defaults). Tiles > 128 at d_hidden 512 need a raised
+# --xla_tpu_scoped_vmem_limit_kib (XLA_FLAGS) for the VMEM stacks.
+_CN.TPU.KERNEL_TILE = -1
 
 
 def get_cfg_defaults():

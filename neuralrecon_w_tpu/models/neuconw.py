@@ -48,6 +48,11 @@ class FieldConfig(NamedTuple):
     # the fused forward + single-call custom-VJP kernel
     # (ops/pallas_nerf_bg.py)
     bg_mode: str = "xla"
+    # point-tile override for the fused field kernels (-1 = per-width
+    # defaults measured in ops/pallas_field_vjp.py); larger tiles give
+    # better MXU pipelining but need a raised
+    # --xla_tpu_scoped_vmem_limit_kib to fit the recompute stacks
+    kernel_tile: int = -1
 
     @property
     def sdf_cfg(self) -> dict:
@@ -77,6 +82,7 @@ def field_config_from_cfg(cfg) -> FieldConfig:
         grad_mode=str(getattr(cfg.TPU, "SDF_GRAD_MODE", "vjp")),
         act_dtype=str(getattr(cfg.TPU, "FIELD_DTYPE", "float32")),
         bg_mode="pallas" if fused_bg else "xla",
+        kernel_tile=int(getattr(cfg.TPU, "KERNEL_TILE", -1)),
     )
 
 
@@ -125,7 +131,8 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         from ..ops.pallas_field_train import field_rgb_sdf_grad_pallas
 
         rgb, sdf, grad = field_rgb_sdf_grad_pallas(
-            params, fc, pts, dirs, a_embedded
+            params, fc, pts, dirs, a_embedded,
+            **({"tile": fc.kernel_tile} if fc.kernel_tile > 0 else {}),
         )
         return rgb, inv_s(params), sdf, grad
     if fc.grad_mode == "fwd":
@@ -142,6 +149,7 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         sdf, feat, grad = sdf_value_feat_grad_pallas(
             params["neuconw"]["sdf"], sdf_cfg, pts, act_dtype=fc.act_dtype,
             fwd_impl="xla" if fc.grad_mode == "pallas_hybrid" else "pallas",
+            **({"tile": fc.kernel_tile} if fc.kernel_tile > 0 else {}),
         )
     else:
         sdf, feat, grad = sdf_value_feat_grad(
