@@ -267,6 +267,40 @@ def test_surface_level_and_octree_update():
     assert dev.occ.dtype == jnp.uint32
 
 
+def test_octree_update_degenerate_sdf_warns(caplog):
+    """A refresh that keeps >90% of candidate voxels (no meaningful zero
+    set — e.g. the all-negative level-shifted basin) must warn loudly;
+    a healthy refresh must not (BENCHMARKS.md quality matrix)."""
+    import logging
+
+    cfg = tiny_cfg()
+    fc = field_config_from_cfg(cfg)
+    params = init_field(jax.random.PRNGKey(0), fc)
+    scene_config = {
+        "eval_bbx": [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+        "sfm2gt": np.eye(4).tolist(),
+        "origin": [0.0, 0.0, 0.0],
+        "radius": 1.0,
+    }
+    pts = np.random.RandomState(1).uniform(-0.9, 0.9, (500, 3))
+    sfm_grid = grid_from_points(pts, [-1, -1, -1], [1, 1, 1], voxel_size=0.5,
+                                expand=0)
+    with caplog.at_level(logging.WARNING,
+                         logger="neuralrecon_w_tpu.training.surface"):
+        octree_update(params, fc, sfm_grid, scene_config,
+                      scene_origin=np.zeros(3), scene_radius=1.0,
+                      train_voxel_size=0.3, sdf_threshold=1e6, chunk=256)
+    assert any("degenerate" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="neuralrecon_w_tpu.training.surface"):
+        octree_update(params, fc, sfm_grid, scene_config,
+                      scene_origin=np.zeros(3), scene_radius=1.0,
+                      train_voxel_size=0.3, sdf_threshold=0.0, chunk=256)
+    assert not any("degenerate" in r.message for r in caplog.records)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from neuralrecon_w_tpu.training import (
         latest_checkpoint, restore_checkpoint, save_checkpoint,
