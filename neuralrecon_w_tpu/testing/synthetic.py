@@ -29,6 +29,52 @@ def sphere_sdf(pts: np.ndarray, radius: float = 1.0) -> np.ndarray:
     return np.linalg.norm(pts, axis=-1) - radius
 
 
+# offsets/radii (units of the scene radius) of the non-convex "blobs"
+# shape: a union of three overlapping spheres with concave creases
+_BLOBS = (
+    (np.array([0.0, 0.0, 0.0]), 1.0),
+    (np.array([0.75, 0.0, 0.25]), 0.6),
+    (np.array([-0.45, 0.55, -0.3]), 0.5),
+)
+
+
+def blobs_sdf(pts: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    """Union-of-spheres SDF (exact outside, lower bound inside creases)."""
+    d = np.full(pts.shape[:-1], np.inf)
+    for c, r in _BLOBS:
+        d = np.minimum(d, np.linalg.norm(pts - c * radius, axis=-1) - r * radius)
+    return d
+
+
+def scene_sdf(pts: np.ndarray, shape: str, radius: float = 1.0) -> np.ndarray:
+    return (blobs_sdf if shape == "blobs" else sphere_sdf)(pts, radius)
+
+
+def sample_surface(shape: str, n: int, radius: float = 1.0, seed: int = 0
+                   ) -> np.ndarray:
+    """n points uniform-ish on the shape's surface (for SFM keypoints and
+    GT evaluation clouds)."""
+    rs = np.random.RandomState(seed)
+    if shape != "blobs":
+        v = rs.randn(n, 3)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        return v * radius
+    spheres = [(c * radius, r * radius) for c, r in _BLOBS]
+    areas = np.array([r * r for _, r in spheres])
+    picks = rs.choice(len(spheres), size=4 * n, p=areas / areas.sum())
+    v = rs.randn(4 * n, 3)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = np.stack([spheres[i][0] + v[k] * spheres[i][1]
+                    for k, i in enumerate(picks)])
+    # keep only points on the union boundary (not inside another sphere)
+    keep = blobs_sdf(pts, radius) > -1e-6 * radius
+    pts = pts[keep]
+    if len(pts) < n:  # extremely unlikely at 4x oversampling
+        return np.concatenate([pts, sample_surface("sphere", n - len(pts),
+                                                   radius, seed + 1)])
+    return pts[:n]
+
+
 def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.0])):
     """COLMAP w2c (right-down-front): camera +z looks at target."""
     fwd = target - eye
@@ -68,6 +114,41 @@ def _render_sphere_image(K, R, t, w, h, radius, light=np.array([0.3, 0.2, 0.9]))
     return (np.clip(img, 0, 1) * 255).astype(np.uint8), np.where(hit, t_hit, 0.0), hit
 
 
+def _render_sdf_image(K, R, t, w, h, radius, shape,
+                      light=np.array([0.3, 0.2, 0.9])):
+    """Sphere-traced render of an analytic SDF shape; same contract as
+    _render_sphere_image (uint8 image, along-ray depth, hit mask)."""
+    j, i = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    dirs_cam = np.stack(
+        [(i - K[0, 2]) / K[0, 0], (j - K[1, 2]) / K[1, 1], np.ones_like(i, float)], -1
+    )
+    dirs_w = dirs_cam @ R
+    o = (-R.T @ t).reshape(1, 1, 3)
+    d = dirs_w / np.linalg.norm(dirs_w, axis=-1, keepdims=True)
+
+    t_hit = np.zeros((h, w))
+    for _ in range(96):
+        pts = o + d * t_hit[..., None]
+        dist = scene_sdf(pts, shape, radius)
+        t_hit = t_hit + np.maximum(dist, 0.0) * 0.95
+        t_hit = np.minimum(t_hit, 1e3)
+    pts = o + d * t_hit[..., None]
+    hit = (scene_sdf(pts, shape, radius) < 1e-3 * radius) & (t_hit > 1e-3)
+
+    eps = 1e-4 * radius
+    n = np.stack([
+        scene_sdf(pts + np.eye(3)[k] * eps, shape, radius)
+        - scene_sdf(pts - np.eye(3)[k] * eps, shape, radius)
+        for k in range(3)
+    ], axis=-1)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    lam = np.clip(n @ (light / np.linalg.norm(light)), 0.1, 1.0)
+    base = np.array([0.8, 0.45, 0.3])
+    sky = np.array([0.5, 0.65, 0.9])
+    img = np.where(hit[..., None], lam[..., None] * base, sky[None, None, :])
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8), np.where(hit, t_hit, 0.0), hit
+
+
 def make_synthetic_scene(
     root_dir: str,
     n_images: int = 8,
@@ -79,6 +160,7 @@ def make_synthetic_scene(
     seed: int = 0,
     scene_name: str | None = None,
     with_semantics: bool = True,
+    shape: str = "sphere",
 ) -> dict:
     """Write a full workspace under root_dir; returns scene metadata."""
     rs = np.random.RandomState(seed)
@@ -94,9 +176,8 @@ def make_synthetic_scene(
     cameras = {1: Camera(1, "PINHOLE", w, h, np.array([f, f, w / 2, h / 2]))}
 
     # surface points with per-point jitter as "reconstruction error"
-    sph = rs.randn(n_points, 3)
-    sph /= np.linalg.norm(sph, axis=-1, keepdims=True)
-    pts_world = sph * sphere_radius
+    pts_world = sample_surface(shape, n_points, sphere_radius, seed)
+    n_points = len(pts_world)
     pt_err = np.abs(rs.randn(n_points)) * 0.5 + 0.2
 
     images = {}
@@ -110,7 +191,10 @@ def make_synthetic_scene(
             [np.cos(ang) * cam_dist, np.sin(ang) * cam_dist, 0.6 + 0.2 * np.sin(3 * ang)]
         )
         R, t = _look_at(eye, np.zeros(3))
-        img, _, hit = _render_sphere_image(K, R, t, w, h, sphere_radius)
+        if shape == "sphere":
+            img, _, hit = _render_sphere_image(K, R, t, w, h, sphere_radius)
+        else:
+            img, _, hit = _render_sdf_image(K, R, t, w, h, sphere_radius, shape)
         name = f"img_{idx:03d}.jpg"
         names.append(name)
         PILImage.fromarray(img).save(
@@ -130,8 +214,30 @@ def make_synthetic_scene(
         uv = (K @ cam_pts.T).T
         uv = uv[:, :2] / uv[:, 2:3]
         vis = (z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
-        # only front-facing points (normal toward camera)
-        vis &= np.sum((pts_world - eye) * pts_world, axis=-1) < 0
+        # only front-facing, unoccluded points
+        if shape == "sphere":
+            vis &= np.sum((pts_world - eye) * pts_world, axis=-1) < 0
+        else:
+            eps = 1e-4 * sphere_radius
+            nrm = np.stack([
+                scene_sdf(pts_world + np.eye(3)[k] * eps, shape, sphere_radius)
+                - scene_sdf(pts_world - np.eye(3)[k] * eps, shape, sphere_radius)
+                for k in range(3)
+            ], axis=-1)
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+            vis &= np.sum((pts_world - eye) * nrm, axis=-1) < 0
+            # occlusion: march from the camera toward each point and
+            # require the first surface hit to be at the point itself
+            seg = pts_world - eye
+            seg_len = np.linalg.norm(seg, axis=-1)
+            d_seg = seg / np.maximum(seg_len[:, None], 1e-9)
+            t_m = np.zeros(len(pts_world))
+            for _ in range(96):
+                p = eye[None, :] + d_seg * t_m[:, None]
+                t_m = t_m + np.maximum(
+                    scene_sdf(p, shape, sphere_radius), 0.0) * 0.95
+                t_m = np.minimum(t_m, seg_len)
+            vis &= t_m > seg_len - 1e-2 * sphere_radius
         xys, p3d_ids = [], []
         img_id = idx + 1
         for pid0 in np.nonzero(vis)[0]:
@@ -186,6 +292,7 @@ def make_synthetic_scene(
     return {
         "scene_config": scene_config,
         "sphere_radius": sphere_radius,
+        "shape": shape,
         "n_points": len(points3d),
         "names": names,
     }

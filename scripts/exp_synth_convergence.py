@@ -23,13 +23,14 @@ def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nw_synth_conv"
     # loss/schedule overrides: KEY=VALUE pairs after the workdir
     overrides = dict(kv.split("=", 1) for kv in sys.argv[2:])
-    root = os.path.join(work, "sphere_scene")
+    shape = overrides.pop("SHAPE", "sphere")
+    root = os.path.join(work, f"{shape}_scene")
     os.makedirs(root, exist_ok=True)
 
     from neuralrecon_w_tpu.testing import make_synthetic_scene
 
     info = make_synthetic_scene(root, n_images=26, n_test=2,
-                                img_wh=(64, 48), n_points=600)
+                                img_wh=(64, 48), n_points=600, shape=shape)
     print("scene:", info["n_points"], "sfm points", flush=True)
 
     from neuralrecon_w_tpu.tools.prepare_data.prepare_data_split import (
@@ -113,11 +114,10 @@ def main():
     extract_main(["--cfg_path", cfg_path, "--ckpt_path", ck,
                   "--mesh_size", "128", "--chunk", "65536",
                   "--out", out])
-    rs = np.random.RandomState(0)
-    v = rs.randn(20000, 3)
-    v /= np.linalg.norm(v, axis=-1, keepdims=True)
-    gt_path = os.path.join(work, "gt.ply")
-    write_ply(gt_path, v * info["sphere_radius"])
+    from neuralrecon_w_tpu.testing.synthetic import sample_surface
+
+    gt_path = os.path.join(work, f"gt_{shape}.ply")
+    write_ply(gt_path, sample_surface(shape, 20000, info["sphere_radius"]))
     res = eval_mesh(out, gt_path, info["scene_config"], is_mesh=True,
                     threshold=[0.05, 0.1, 0.2], save_name=exp,
                     write_visualizations=False)

