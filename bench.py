@@ -64,8 +64,11 @@ def main():
     lcfg = loss_config_from_cfg(cfg)
     opt, _ = make_optimizer(cfg, BATCH)
 
+    copts = dict(kv.split("=", 1)
+                 for kv in os.environ.get("NW_BENCH_COMPILER_OPTS", "").split(";")
+                 if kv) or None
     step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
-                   donate_argnums=(0,))
+                   donate_argnums=(0,), compiler_options=copts)
     state = init_state(jax.random.PRNGKey(0), fc, opt)
     scene = _scene_info()
     batch = _make_batch(BATCH, fc.n_vocab)

@@ -168,8 +168,12 @@ _CN.TPU.FIELD_DTYPE = "float32"
 _CN.TPU.FUSED_BG = False
 # point-tile override for the fused field kernels (-1 = measured
 # per-width defaults). Tiles > 128 at d_hidden 512 need a raised
-# --xla_tpu_scoped_vmem_limit_kib (XLA_FLAGS) for the VMEM stacks.
+# device scoped-VMEM limit (jit compiler_options
+# xla_tpu_scoped_vmem_limit_kib; host XLA_FLAGS rejects --xla_tpu_*
+# under the remote-device tunnel) for the VMEM stacks.
 _CN.TPU.KERNEL_TILE = -1
+# ray-tile override for the fused importance-sampler kernel (-1 = 64)
+_CN.TPU.SAMPLER_TILE = -1
 
 
 def get_cfg_defaults():

@@ -59,6 +59,9 @@ class RenderConfig(NamedTuple):
     # ~1/3 more FLOPs for activation memory — unlocks ray batches past
     # the HBM ceiling)
     remat_field: bool = False
+    # ray-tile of the fused importance sampler kernel (-1 = default 64;
+    # 128 needs a raised device scoped-VMEM limit at width 512)
+    sampler_tile: int = -1
 
 
 class SceneInfo(NamedTuple):
@@ -106,6 +109,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         ),
         fused_sampler_sdf=bool(fused),
         remat_field=bool(remat),
+        sampler_tile=int(getattr(cfg.TPU, "SAMPLER_TILE", -1)),
     )
 
 
@@ -199,6 +203,7 @@ def sparse_sampler(
                 params["neuconw"]["sdf"], fc.sdf, rays_o, rays_d, z_vals,
                 rcfg.n_importance, rcfg.up_sample_steps, rcfg.s_val_base,
                 act_dtype=fc.act_dtype,
+                **({"tile": rcfg.sampler_tile} if rcfg.sampler_tile > 0 else {}),
             )
         else:
             sdf_fn = lambda pts: field_sdf(params, fc, pts)
