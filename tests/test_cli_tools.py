@@ -1,0 +1,108 @@
+"""Smoke + behavior tests for the auxiliary CLI tools that had no
+coverage: reproj_error, vis_metrics, pre_process, prepare_semantic_maps
+(reference tools/reproj_error.py, utils/vis_metrics.py,
+tools/pre_process.py, tools/prepare_data/prepare_semantic_maps.py)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sphere_scene(tmp_path_factory):
+    from neuralrecon_w_tpu.testing import make_synthetic_scene
+
+    root = str(tmp_path_factory.mktemp("clis") / "sphere_scene")
+    os.makedirs(root)
+    info = make_synthetic_scene(root, n_images=6, n_test=1, img_wh=(40, 30),
+                                n_points=250)
+    return root, info
+
+
+def test_reproj_error_cli(sphere_scene, tmp_path):
+    """GT-vs-SFM track audit: synthetic tracks are exact projections of
+    points on the GT surface, so the snapped reprojection error must be
+    small (bounded by the GT cloud's sampling gap)."""
+    from neuralrecon_w_tpu.testing.synthetic import sample_surface
+    from neuralrecon_w_tpu.tools.reproj_error import main
+    from neuralrecon_w_tpu.utils.ply import write_ply
+
+    root, info = sphere_scene
+    gt = str(tmp_path / "gt.ply")
+    write_ply(gt, sample_surface("sphere", 8000, info["sphere_radius"]))
+    out = str(tmp_path / "err.json")
+    res = main(["--root_dir", root, "--gt_ply", gt,
+                "--track_length", "2", "--out", out])
+    assert os.path.exists(out)
+    assert res["n_observations"] > 50
+    assert np.isfinite(res["mean_px"]) and np.isfinite(res["median_px"])
+    assert res["mean_px"] < 5.0, res
+
+
+def test_vis_metrics_cli(tmp_path, monkeypatch):
+    from neuralrecon_w_tpu.tools.vis_metrics_cli import main
+
+    th = [0.05, 0.1, 0.2]
+    for name, scale in (("ours", 1.0), ("colmap", 0.8)):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "metrics.json", "w") as f:
+            json.dump({"thresholds": th,
+                       "fscores": [scale * t * 2 for t in th],
+                       "precs": [scale * t for t in th],
+                       "recals": [scale * t for t in th]}, f)
+    monkeypatch.chdir(tmp_path)
+    out = main(["--ours_path", str(tmp_path / "ours"),
+                "--colmap_path", str(tmp_path / "colmap"),
+                "--save_name", "cmp"])
+    pngs = [p for p in os.listdir(out) if p.endswith(".png")]
+    assert len(pngs) >= 3, os.listdir(out)
+
+
+def test_pre_process_converts_raw_workspace(sphere_scene, tmp_path):
+    """COLMAP-raw layout -> training workspace without the colmap binary
+    (pinhole fallback): config.yaml generated from SFM extents, sparse
+    model + images copied into the dense/ layout."""
+    from neuralrecon_w_tpu.tools.pre_process import main
+
+    root, _ = sphere_scene
+    src = tmp_path / "raw"
+    (src / "sparse" / "0").mkdir(parents=True)
+    (src / "images").mkdir()
+    for f in os.listdir(os.path.join(root, "dense/sparse")):
+        shutil.copy(os.path.join(root, "dense/sparse", f),
+                    src / "sparse" / "0" / f)
+    for f in os.listdir(os.path.join(root, "dense/images")):
+        shutil.copy(os.path.join(root, "dense/images", f), src / "images" / f)
+
+    dest = str(tmp_path / "workspaces")
+    out = main(["--src", str(src), "--dest", dest])
+    assert len(out) == 1
+    ws = out[0]
+    assert os.path.exists(os.path.join(ws, "dense/sparse/images.bin"))
+    assert os.path.exists(os.path.join(ws, "dense/images"))
+    import yaml
+
+    with open(os.path.join(ws, "config.yaml")) as f:
+        sc = yaml.safe_load(f)
+    for key in ("name", "origin", "radius", "eval_bbx", "sfm2gt"):
+        assert key in sc, key
+    assert sc["radius"] > 0
+
+
+def test_prepare_semantic_maps_constant_backend(sphere_scene, tmp_path):
+    from neuralrecon_w_tpu.tools.prepare_data.prepare_semantic_maps import main
+
+    root, _ = sphere_scene
+    out_rel = "semantic_maps_test"
+    main(["--root_dir", root, "--backend", "constant",
+          "--out_path", out_rel])
+    out = os.path.join(root, out_rel)
+    files = sorted(os.listdir(out))
+    assert len(files) == 6
+    arr = np.load(os.path.join(out, files[0]))
+    sem = arr[arr.files[0]]
+    assert sem.shape == (30, 40)
