@@ -242,7 +242,10 @@ class Trainer:
         # force a device sync per iteration (over a TPU tunnel that
         # round-trip would dominate the step time)
         step_i = int(self.state.step)
-        start_step = step_i
+        # windowed throughput: rate since the previous scalar log, not a
+        # cumulative average (which would fold jit compiles, validation
+        # and surface refreshes into every later reading)
+        win_t, win_step = t0, step_i
         while step_i < total:
             if self.tcfg.profile_start >= 0:
                 if step_i == self.tcfg.profile_start and not profiling:
@@ -292,14 +295,17 @@ class Trainer:
 
             if step_i % 50 == 0 or step_i >= total:
                 scalars = {k: float(v) for k, v in aux.items()}  # sync here only
+                now = time.time()
                 scalars["rays_per_sec"] = (
-                    bs * (step_i - start_step) / max(time.time() - t0, 1e-9)
+                    bs * (step_i - win_step) / max(now - win_t, 1e-9)
                 )
+                win_t, win_step = now, step_i
                 self.logger.log(step_i, scalars)
             if self.save_freq > 0 and step_i % self.save_freq == 0:
                 self.save(step_i)
             if val_every > 0 and step_i % val_every == 0 and self.meta.img_ids_train:
                 self.validate(step_i)
+                win_t = time.time()  # keep val render time out of the window
         if profiling:
             jax.profiler.stop_trace()
         self.save(step_i)
