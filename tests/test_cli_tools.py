@@ -106,3 +106,39 @@ def test_prepare_semantic_maps_constant_backend(sphere_scene, tmp_path):
     arr = np.load(os.path.join(out, files[0]))
     sem = arr[arr.files[0]]
     assert sem.shape == (30, 40)
+
+
+def test_roi_percent_geometry():
+    """ROI fraction: rays toward the sphere hit, rays away miss; a
+    camera inside the sphere counts everything within `radius` of the
+    ray (reference dataset_filter_utils.py:170-181)."""
+    from neuralrecon_w_tpu.tools.prepare_data.filters import roi_percent
+
+    o = np.tile([[0.0, 0.0, 3.0]], (4, 1))
+    d = np.array([
+        [0, 0, -1.0],   # straight at the origin sphere -> in
+        [0, 0, 1.0],    # straight away -> out
+        [1, 0, 0.0],    # perpendicular, misses -> out
+        [0.25, 0, -1],  # slightly off axis, still hits r=1 -> in
+    ])
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    assert roi_percent(o, d, [0, 0, 0], 1.0) == pytest.approx(0.5)
+    # camera inside the sphere: every ray is in the ROI
+    o_in = np.zeros((4, 3))
+    assert roi_percent(o_in, d, [0, 0, 0], 1.0) == 1.0
+
+
+def test_filter_transient_drops_person_dominated_views(tmp_path):
+    from neuralrecon_w_tpu.datasets.mask_utils import get_label_id_mapping
+    from neuralrecon_w_tpu.tools.prepare_data.filters import filter_transient
+
+    person = get_label_id_mapping()["person"]
+    sem_dir = tmp_path / "semantic_maps"
+    sem_dir.mkdir()
+    crowded = np.full((20, 20), person, np.int16)
+    empty = np.zeros((20, 20), np.int16)
+    np.savez_compressed(sem_dir / "a.npz", crowded)
+    np.savez_compressed(sem_dir / "b.npz", empty)
+    keep = filter_transient(str(tmp_path), ["a.jpg", "b.jpg", "nomap.jpg"])
+    # crowded view dropped; empty + map-less views kept
+    assert keep == ["b.jpg", "nomap.jpg"]
