@@ -36,6 +36,17 @@ from .step import init_state, jit_train_step, make_render_fn, make_train_step
 from .surface import octree_update, surface_level
 
 
+def val_interval(val_freq: float, steps_per_epoch: int) -> int:
+    """Steps between validations. VAL_FREQ follows Lightning's
+    val_check_interval dual semantics (reference train.py:57, per-scene
+    configs use 10000.0 = every 10k steps, defaults 0.125 = 8x/epoch):
+    values < 1.0 are a fraction of an epoch, values >= 1 are a step
+    count."""
+    if val_freq >= 1.0:
+        return int(val_freq)
+    return max(int(steps_per_epoch * val_freq), 1)
+
+
 class MetricsLogger:
     """JSONL scalar logging (stands in for TestTubeLogger,
     reference train.py:38-42); optionally mirrors to tensorboard when
@@ -208,8 +219,8 @@ class Trainer:
         total = self.tcfg.num_epochs * steps_per_epoch
         if max_steps is not None:
             total = min(total, int(self.state.step) + max_steps)
-        val_every = self.tcfg.val_freq_steps or max(
-            int(steps_per_epoch * float(self.cfg.TRAINER.VAL_FREQ)), 1
+        val_every = self.tcfg.val_freq_steps or val_interval(
+            float(self.cfg.TRAINER.VAL_FREQ), steps_per_epoch
         )
 
         rng = jax.random.PRNGKey(int(self.cfg.TRAINER.SEED) + 1)

@@ -362,3 +362,15 @@ def test_bf16_activations_descend():
         state, aux = step(state, scene(), batch, jax.random.PRNGKey(1))
         losses.append(float(aux["loss"]))
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_val_interval_lightning_semantics():
+    """VAL_FREQ >= 1 is a step count (per-scene configs use 10000.0);
+    < 1 is an epoch fraction (defaults use 0.125). The old
+    epoch-multiple reading silently skipped validation on short runs."""
+    from neuralrecon_w_tpu.training.loop import val_interval
+
+    assert val_interval(10000.0, 36) == 10000
+    assert val_interval(500.0, 36) == 500
+    assert val_interval(0.125, 800) == 100
+    assert val_interval(0.125, 4) == 1
