@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from .layers import (
     apply_linear,
+    apply_linear_parts,
     apply_wn_linear,
     init_linear,
     init_wn_linear,
@@ -74,20 +75,25 @@ def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature
 
     if encode_a:
         xyz_final = apply_linear(params["xyz_final"], feature)
-        h = jnp.concatenate([xyz_final, view_dirs, a_embedded], axis=-1)
-        for s in range(cfg["static_head_layers"]):
+        # concat-fed layers run as row-block partial GEMMs (see
+        # apply_linear_parts) — the materialized concats are pure HBM
+        # cost at training batch sizes
+        h = jax.nn.relu(
+            apply_linear_parts(params["static0"], (xyz_final, view_dirs, a_embedded))
+        )
+        for s in range(1, cfg["static_head_layers"]):
             h = jax.nn.relu(apply_linear(params[f"static{s}"], h))
-        x = jnp.concatenate([points, normals, h], axis=-1)
+        first_parts = (points, normals, h)
     else:
         if cfg["mode"] == "idr":
-            x = jnp.concatenate([points, view_dirs, normals, feature], axis=-1)
+            first_parts = (points, view_dirs, normals, feature)
         elif cfg["mode"] == "no_view_dir":
-            x = jnp.concatenate([points, normals, feature], axis=-1)
+            first_parts = (points, normals, feature)
         else:  # no_normal
-            x = jnp.concatenate([points, view_dirs, feature], axis=-1)
+            first_parts = (points, view_dirs, feature)
 
-    for l in range(n_layers):
+    x = apply_linear_parts(params["lin0"], first_parts)
+    for l in range(1, n_layers):
+        x = jax.nn.relu(x)
         x = apply_main(params[f"lin{l}"], x)
-        if l < n_layers - 1:
-            x = jax.nn.relu(x)
     return jax.nn.sigmoid(x.astype(jnp.float32))

@@ -82,6 +82,25 @@ def apply_wn_linear(p, x):
     return x @ wn_weight(p) + p["b"]
 
 
+def apply_linear_parts(p, parts):
+    """Linear layer over concat(parts, axis=-1) WITHOUT materializing
+    the concatenation: row-block partial GEMMs summed. XLA does not do
+    this rewrite itself, and the materialized concat of a wide GEMM
+    input is a measurable HBM cost (profiled 2.2 ms/step on the bg-NeRF
+    appearance head at batch 8192, BENCHMARKS.md). Supports plain and
+    weight-normed params; numerically equal to the concat form up to
+    f32 summation order."""
+    w = wn_weight(p) if "v" in p else p["w"]
+    acc = p["b"]
+    off = 0
+    for x in parts:
+        k = x.shape[-1]
+        acc = acc + x @ w[off:off + k]
+        off += k
+    assert off == w.shape[0], (off, w.shape)
+    return acc
+
+
 # ------------------------------ misc ------------------------------
 
 

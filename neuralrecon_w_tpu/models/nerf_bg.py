@@ -14,7 +14,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .layers import apply_linear, init_linear, pe_dim, positional_encoding
+from .layers import (
+    apply_linear,
+    apply_linear_parts,
+    init_linear,
+    pe_dim,
+    positional_encoding,
+)
 
 D = 8
 W = 256
@@ -58,19 +64,27 @@ def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs,
     pe_view = positional_encoding(view_dirs, 4)
 
     h = pe
+    skipped = False
     for i in range(D):
-        h = jax.nn.relu(apply_linear(params[f"pts{i}"], h))
-        if i in SKIPS:
-            h = jnp.concatenate([pe, h], axis=-1)
+        if skipped:
+            # nerf-pytorch skip: concat [pe, h] feeds this layer; run it
+            # as two row-block GEMMs instead of materializing the concat
+            h = jax.nn.relu(apply_linear_parts(params[f"pts{i}"], (pe, h)))
+        else:
+            h = jax.nn.relu(apply_linear(params[f"pts{i}"], h))
+        skipped = i in SKIPS
 
     alpha = apply_linear(params["alpha"], h)
     feature = apply_linear(params["feature"], h)
     if encode_appearance:
-        h = jnp.concatenate([feature, pe_view, a_embedded], axis=-1)
-        for s in range(D // 2):
+        h = jax.nn.relu(
+            apply_linear_parts(params["app0"], (feature, pe_view, a_embedded))
+        )
+        for s in range(1, D // 2):
             h = jax.nn.relu(apply_linear(params[f"app{s}"], h))
     else:
-        h = jnp.concatenate([feature, pe_view], axis=-1)
-        h = jax.nn.relu(apply_linear(params["views0"], h))
+        h = jax.nn.relu(
+            apply_linear_parts(params["views0"], (feature, pe_view))
+        )
     rgb = apply_linear(params["rgb"], h)
     return alpha.astype(jnp.float32), rgb.astype(jnp.float32)
