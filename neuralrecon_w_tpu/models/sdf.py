@@ -120,9 +120,16 @@ def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray
     inv_sqrt2 = np.asarray(1.0 / np.sqrt(2), act_dtype)
     for l in range(n_layers):
         p = params[f"lin{l}"]
+        w = _layer_weight(p).astype(act_dtype)
         if l in skip_in:
-            h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
-        h = h @ _layer_weight(p).astype(act_dtype) + p["b"].astype(act_dtype)
+            # skip concat [h, pe]/sqrt(2) feeds this layer: run it as
+            # two row-block GEMMs instead of materializing the 640-wide
+            # concat (same rewrite as layers.apply_linear_parts; the
+            # 1/sqrt(2) distributes over the sum)
+            d_h = h.shape[-1]
+            h = (h @ w[:d_h] + inputs @ w[d_h:]) * inv_sqrt2 + p["b"].astype(act_dtype)
+        else:
+            h = h @ w + p["b"].astype(act_dtype)
         if l < n_layers - 1:
             h = softplus_beta(h, 100.0)
     h = h.astype(jnp.float32)

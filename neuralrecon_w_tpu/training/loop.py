@@ -382,21 +382,29 @@ class Trainer:
         if not os.path.exists(gt_path):
             return {}
         from ..evaluation import eval_mesh_arrays, sample_mesh_surface, transform_points
+        from ..evaluation.geometry import bbx_crop
         from ..extraction import box_eval_grid, extract_mesh
         from ..utils.ply import read_ply
 
         sc = self.meta.scene_config
-        grid = box_eval_grid(sc.get("eval_bbx_detail", sc["eval_bbx"]), dim)
+        bbx = sc.get("eval_bbx_detail", sc["eval_bbx"])
+        grid = box_eval_grid(bbx, dim)
         params = jax.device_get(self.state.params)
         origin = np.asarray(sc["origin"], np.float64)
         mesh = extract_mesh(params, self.fc, grid, origin, float(sc["radius"]),
                             mesh=self.mesh)
         if mesh is None:
             return {"val/fscore": 0.0}
-        gt = read_ply(gt_path)["verts"]
-        pred = transform_points(
+        # the reference scores pred AND GT cropped to eval_bbx_detail
+        # (reference neuconw_system.py:517-527 -> eval_mesh bbx crop);
+        # without the GT crop, geometry outside the detail box deflates
+        # recall
+        gt = bbx_crop(read_ply(gt_path)["verts"], bbx)
+        if len(gt) == 0:
+            return {"val/fscore": 0.0}
+        pred = bbx_crop(transform_points(
             sample_mesh_surface(mesh.verts, mesh.faces, min(len(gt) * 2, 200000)),
             np.asarray(sc["sfm2gt"]),
-        )
+        ), bbx)
         m = eval_mesh_arrays(pred, gt, threshold=0.1)
         return {"val/fscore": m["fscore"]}
