@@ -75,7 +75,10 @@ def summarize(trace_dir: str, top: int = 30):
     with open(path, "rb") as f:
         xspace.ParseFromString(f.read())
 
+    import re
+
     per_op = defaultdict(float)
+    per_kind = defaultdict(float)
     per_line = defaultdict(float)
     for plane in xspace.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
@@ -85,14 +88,25 @@ def summarize(trace_dir: str, top: int = 30):
             for ev in line.events:
                 dur_ms = ev.duration_ps / 1e9
                 name = emeta.get(ev.metadata_id, str(ev.metadata_id))
-                per_op[name] += dur_ms
                 per_line[f"{plane.name}::{line.name}"] += dur_ms
+                if line.name != "XLA Ops":
+                    continue
+                per_op[name] += dur_ms
+                # '%foo.12 = TYPE[shape] op-kind(...)' -> 'op-kind TYPE[shape]'
+                m = re.match(r"%[\w.\-]+ = (\S+) ([\w\-]+)\(", name)
+                if m:
+                    per_kind[f"{m.group(2)} {m.group(1)[:48]}"] += dur_ms
+                else:
+                    per_kind[name[:60]] += dur_ms
 
     print(f"== trace {os.path.basename(path)}")
     print("-- per line (plane::line, total ms):")
     for k, v in sorted(per_line.items(), key=lambda kv: -kv[1])[:10]:
         print(f"  {v:10.3f} ms  {k}")
-    print(f"-- top {top} ops by device time:")
+    print(f"-- top {top} op groups (kind + shape, XLA Ops line only):")
+    for k, v in sorted(per_kind.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {v:10.3f} ms  {k}")
+    print(f"-- top {top} individual ops:")
     for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {v:10.3f} ms  {k[:110]}")
 
