@@ -172,6 +172,157 @@ def _merge_sorted(a, b, pa=None, pb=None):
     return merged, _one_hot_gather(jnp.concatenate([pa, pb], axis=-1), inv)
 
 
+# ---------------- column-major (rays-on-lanes) helpers ----------------
+#
+# The row-major kernel keeps rays on the sublane axis and z-samples on
+# the LANE axis — at n <= 32 samples that uses < 25% of the VPU's 128
+# lanes, and the O(n^2) one-hot logic dominates the kernel (profiled
+# 9.3 ms/step at batch 8192). These mirrors put z on sublanes and a
+# full 128-ray tile on lanes; the MLP evals stay row-major by building
+# the point rows with a flipped broadcast (no transposes needed).
+
+
+def _cumsum_cols(x):
+    """Inclusive cumsum along axis 0 via a lower-triangular matmul."""
+    n = x.shape[0]
+    tri = (jnp.arange(n)[:, None] >= jnp.arange(n)[None, :]).astype(x.dtype)
+    return jax.lax.dot_general(
+        tri, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _exclusive_cumprod_cols(x):
+    logs = jnp.log(x)
+    return jnp.exp(_cumsum_cols(logs) - logs)
+
+
+def _one_hot_gather_cols(values, idx):
+    """values (n, R), idx (m, R) -> (m, R)."""
+    n = values.shape[0]
+    src = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    oh = idx[None, :, :] == src  # (n, m, R)
+    return jnp.sum(jnp.where(oh, values[:, None, :], 0.0), axis=0)
+
+
+def _sample_pdf_cols(bins, weights, n_samples: int):
+    """Column mirror of _sample_pdf: bins (n, R), weights (n-?, R)."""
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=0, keepdims=True)
+    n = pdf.shape[0]
+    # exclusive-cumsum CDF with the leading zero folded in: (n+1, R)
+    tri = (jnp.arange(n + 1)[:, None] > jnp.arange(n)[None, :]).astype(pdf.dtype)
+    cdf = jax.lax.dot_general(
+        tri, pdf, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    u = (jax.lax.broadcasted_iota(jnp.float32, (n_samples, cdf.shape[1]), 0)
+         + 0.5) / n_samples
+
+    inds = jnp.sum(
+        (cdf[:, None, :] <= u[None, :, :]).astype(jnp.int32), axis=0
+    )
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, n)
+
+    cdf_lo = _one_hot_gather_cols(cdf, below)
+    cdf_hi = _one_hot_gather_cols(cdf, above)
+    nb = bins.shape[0] - 1
+    bins_lo = _one_hot_gather_cols(bins, jnp.minimum(below, nb))
+    bins_hi = _one_hot_gather_cols(bins, jnp.minimum(above, nb))
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def _up_weights_cols(z_vals, sdf, pts_radius, inv_s: float):
+    """Column mirror of _up_weights: all inputs (n, R)."""
+    inside_sphere = (pts_radius[:-1] < 1.0) | (pts_radius[1:] < 1.0)
+    prev_sdf, next_sdf = sdf[:-1], sdf[1:]
+    prev_z, next_z = z_vals[:-1], z_vals[1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+    shifted = pltpu.roll(cos_val, shift=1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, cos_val.shape, 0)
+    prev_cos = jnp.where(row == 0, 0.0, shifted)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    trans = _exclusive_cumprod_cols(jnp.maximum(1.0 - alpha + 1e-7, 1e-30))
+    return alpha * trans
+
+
+def _merge_sorted_cols(a, b, pa=None, pb=None):
+    """Column mirror of _merge_sorted: a (na, R), b (nb, R)."""
+    na, nb = a.shape[0], b.shape[0]
+    n = na + nb
+    pos_a = jnp.sum(
+        (b[None, :, :] < a[:, None, :]).astype(jnp.int32), axis=1
+    ) + jnp.arange(na)[:, None]
+    pos_b = jnp.sum(
+        (a[None, :, :] <= b[:, None, :]).astype(jnp.int32), axis=1
+    ) + jnp.arange(nb)[:, None]
+    perm = jnp.concatenate([pos_a, pos_b], axis=0)  # (n, R)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    oh = perm[:, None, :] == dst  # (src n, dst n, R)
+    src_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    inv = jnp.sum(jnp.where(oh, src_i, 0), axis=0)  # (n, R)
+    cat = jnp.concatenate([a, b], axis=0)
+    merged = _one_hot_gather_cols(cat, inv)
+    if pa is None:
+        return merged
+    return merged, _one_hot_gather_cols(jnp.concatenate([pa, pb], axis=0), inv)
+
+
+def _sampler_kernel_lanes(dims, skip, multires, scale, n_importance,
+                          up_steps, s_val_base, act, o_ref, d_ref, z_ref,
+                          *refs):
+    """Rays-on-lanes variant: all per-ray logic on (n_z, tile) arrays."""
+    n_layers = len(dims) - 1
+    w_refs = refs[: 2 * n_layers]
+    out_ref = refs[2 * n_layers]
+
+    tile = o_ref.shape[0]
+    d_pe_pad = _round_up(dims[0], LANE)
+
+    o = o_ref[:, :3]  # (tile, 3)
+    d = d_ref[:, :3]
+    z_vals = z_ref[:, :].T  # (n0, tile)
+
+    def eval_sdf(z):  # z (s, tile) -> sdf (s, tile)
+        s = z.shape[0]
+        pts = o[None, :, :] + d[None, :, :] * z[:, :, None]  # (s, tile, 3)
+        rows = pts.reshape(-1, 3) * scale
+        pe = _pe_rows(rows, multires, d_pe_pad)
+        return _mlp_sdf(pe, w_refs, dims, skip, scale, act).reshape(s, tile)
+
+    def radius(z):
+        pts = o[None, :, :] + d[None, :, :] * z[:, :, None]
+        return jnp.sqrt(jnp.sum(pts * pts, axis=-1))
+
+    sdf = eval_sdf(z_vals)
+    n_per = n_importance // up_steps
+    for i in range(up_steps):
+        w = _up_weights_cols(z_vals, sdf, radius(z_vals),
+                             64.0 * 2 ** (s_val_base + i))
+        new_z = _sample_pdf_cols(z_vals, w, n_per)
+        if i + 1 == up_steps:
+            z_vals = _merge_sorted_cols(z_vals, new_z)
+        else:
+            new_sdf = eval_sdf(new_z)
+            z_vals, sdf = _merge_sorted_cols(z_vals, new_z, sdf, new_sdf)
+
+    out_ref[:, :] = z_vals.T
+
+
 def _sampler_kernel(dims, skip, multires, scale, n_importance, up_steps,
                     s_val_base, act, o_ref, d_ref, z_ref, *refs):
     n_layers = len(dims) - 1
@@ -212,9 +363,10 @@ def _sampler_kernel(dims, skip, multires, scale, n_importance, up_steps,
 
 @lru_cache(maxsize=None)
 def _kernel_for(dims, skip, multires, scale, n_importance, up_steps,
-                s_val_base, act_dtype):
+                s_val_base, act_dtype, layout="rows"):
     act = jnp.bfloat16 if act_dtype == "bfloat16" else jnp.float32
-    return partial(_sampler_kernel, dims, skip, multires, scale,
+    body = _sampler_kernel_lanes if layout == "lanes" else _sampler_kernel
+    return partial(body, dims, skip, multires, scale,
                    n_importance, up_steps, s_val_base, act)
 
 
@@ -230,10 +382,13 @@ def fused_importance_sampler(
     tile: int = 64,
     interpret: bool = False,
     act_dtype: str = "float32",
+    layout: str = "rows",
 ) -> jnp.ndarray:
     """z_base (R, n0) sorted -> (R, n0 + n_importance) sorted samples.
 
-    rays in unit-sphere coordinates (the sampler's working frame)."""
+    rays in unit-sphere coordinates (the sampler's working frame).
+    layout="lanes" runs the per-ray VPU logic with rays on the lane
+    axis (tile should be 128 there; see _sampler_kernel_lanes)."""
     dims, skip, multires, scale = _sdf_static(sdf_cfg_items)
     r = rays_o.shape[0]
     r_pad = _round_up(max(r, tile), tile)
@@ -269,7 +424,8 @@ def fused_importance_sampler(
 
     n_out = n0 + n_importance
     kernel = _kernel_for(tuple(dims), tuple(skip), multires, scale,
-                         n_importance, up_steps, s_val_base, act_dtype)
+                         n_importance, up_steps, s_val_base, act_dtype,
+                         layout)
     out = pl.pallas_call(
         kernel,
         grid=(r_pad // tile,),

@@ -62,6 +62,9 @@ class RenderConfig(NamedTuple):
     # ray-tile of the fused importance sampler kernel (-1 = default 64;
     # 128 needs a raised device scoped-VMEM limit at width 512)
     sampler_tile: int = -1
+    # 'rows' | 'lanes' — sampler kernel VPU-logic layout (see
+    # ops/pallas_sampler.py)
+    sampler_layout: str = "rows"
 
 
 class SceneInfo(NamedTuple):
@@ -110,6 +113,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         fused_sampler_sdf=bool(fused),
         remat_field=bool(remat),
         sampler_tile=int(getattr(cfg.TPU, "SAMPLER_TILE", -1)),
+        sampler_layout=str(getattr(cfg.TPU, "SAMPLER_LAYOUT", "rows")),
     )
 
 
@@ -199,11 +203,14 @@ def sparse_sampler(
             # draws + merges, ~100 small XLA ops collapsed
             from ..ops.pallas_sampler import fused_importance_sampler
 
+            tile = rcfg.sampler_tile
+            if tile <= 0:
+                tile = 128 if rcfg.sampler_layout == "lanes" else 64
             z_vals = fused_importance_sampler(
                 params["neuconw"]["sdf"], fc.sdf, rays_o, rays_d, z_vals,
                 rcfg.n_importance, rcfg.up_sample_steps, rcfg.s_val_base,
-                act_dtype=fc.act_dtype,
-                **({"tile": rcfg.sampler_tile} if rcfg.sampler_tile > 0 else {}),
+                act_dtype=fc.act_dtype, tile=tile,
+                layout=rcfg.sampler_layout,
             )
         else:
             sdf_fn = lambda pts: field_sdf(params, fc, pts)

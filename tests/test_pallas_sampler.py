@@ -12,11 +12,12 @@ from neuralrecon_w_tpu.ops.pallas_sampler import fused_importance_sampler
 from neuralrecon_w_tpu.rendering.sampling import cat_z_vals, up_sample
 
 
+@pytest.mark.parametrize("layout", ["rows", "lanes"])
 @pytest.mark.parametrize("d_hidden,d_out,n_layers,skip", [
     (256, 257, 8, (4,)),
     (64, 65, 4, (2,)),
 ])
-def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip):
+def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip, layout):
     cfg = dict(d_in=3, d_out=d_out, d_hidden=d_hidden, n_layers=n_layers,
                skip_in=skip, multires=6, bias=0.5, scale=1,
                geometric_init=True, weight_norm=True, inside_outside=False)
@@ -50,7 +51,7 @@ def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip):
     ref = np.asarray(jnp_importance(jnp.asarray(o), jnp.asarray(d), jnp.asarray(z)))
     out = np.asarray(fused_importance_sampler(
         params_sdf, items, jnp.asarray(o), jnp.asarray(d), jnp.asarray(z),
-        n_imp, steps, s_base, tile=16, interpret=True,
+        n_imp, steps, s_base, tile=16, interpret=True, layout=layout,
     ))
     assert out.shape == (R, n0 + n_imp)
     np.testing.assert_allclose(out, ref, atol=1e-4)
