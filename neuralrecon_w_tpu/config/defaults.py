@@ -174,11 +174,11 @@ _CN.TPU.FUSED_BG = False
 _CN.TPU.KERNEL_TILE = -1
 # ray-tile override for the fused importance-sampler kernel (-1 = 64)
 _CN.TPU.SAMPLER_TILE = -1
-# 'rows' | 'lanes' — axis layout of the sampler kernel's per-ray VPU
+# 'lanes' | 'rows' — axis layout of the sampler kernel's per-ray VPU
 # logic. 'lanes' puts a full 128-ray tile on the lane axis (z samples
 # on sublanes), fixing the <25% lane utilization of 'rows' at n<=32
-# samples
-_CN.TPU.SAMPLER_LAYOUT = "rows"
+# samples: 89.2k -> 91.7k rays/s on the headline bench (BENCHMARKS.md)
+_CN.TPU.SAMPLER_LAYOUT = "lanes"
 
 
 def get_cfg_defaults():

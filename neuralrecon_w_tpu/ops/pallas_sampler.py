@@ -198,17 +198,30 @@ def _exclusive_cumprod_cols(x):
 
 
 def _one_hot_gather_cols(values, idx):
-    """values (n, R), idx (m, R) -> (m, R)."""
+    """values (n, R), idx (m, R) -> (m, R). Statically-unrolled rank-2
+    one-hot accumulation: Mosaic has no 3D / axis-0 reductions, and at
+    n <= 33 the unrolled (m, R) selects run at full lane width."""
     n = values.shape[0]
-    src = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    oh = idx[None, :, :] == src  # (n, m, R)
-    return jnp.sum(jnp.where(oh, values[:, None, :], 0.0), axis=0)
+    out = jnp.zeros(idx.shape, values.dtype)
+    for k in range(n):
+        out = out + jnp.where(idx == k, values[k : k + 1, :], 0.0)
+    return out
+
+
+def _sum0(x):
+    """sum over axis 0 as a (1, n) @ (n, R) MXU contraction (axis-0
+    vector reductions don't lower)."""
+    ones = jnp.ones((1, x.shape[0]), x.dtype)
+    return jax.lax.dot_general(
+        ones, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _sample_pdf_cols(bins, weights, n_samples: int):
     """Column mirror of _sample_pdf: bins (n, R), weights (n-?, R)."""
     weights = weights + 1e-5
-    pdf = weights / jnp.sum(weights, axis=0, keepdims=True)
+    pdf = weights / _sum0(weights)
     n = pdf.shape[0]
     # exclusive-cumsum CDF with the leading zero folded in: (n+1, R)
     tri = (jnp.arange(n + 1)[:, None] > jnp.arange(n)[None, :]).astype(pdf.dtype)
@@ -217,12 +230,13 @@ def _sample_pdf_cols(bins, weights, n_samples: int):
         preferred_element_type=jnp.float32,
     )
 
-    u = (jax.lax.broadcasted_iota(jnp.float32, (n_samples, cdf.shape[1]), 0)
-         + 0.5) / n_samples
+    # int iota then cast: Pallas TPU has no float iota
+    u = (jax.lax.broadcasted_iota(jnp.int32, (n_samples, cdf.shape[1]), 0)
+         .astype(jnp.float32) + 0.5) / n_samples
 
-    inds = jnp.sum(
-        (cdf[:, None, :] <= u[None, :, :]).astype(jnp.int32), axis=0
-    )
+    inds = jnp.zeros(u.shape, jnp.int32)
+    for k in range(n + 1):
+        inds = inds + (cdf[k : k + 1, :] <= u).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n)
 
@@ -261,20 +275,22 @@ def _up_weights_cols(z_vals, sdf, pts_radius, inv_s: float):
 
 
 def _merge_sorted_cols(a, b, pa=None, pb=None):
-    """Column mirror of _merge_sorted: a (na, R), b (nb, R)."""
+    """Column mirror of _merge_sorted: a (na, R), b (nb, R). All rank-2
+    ops (statically unrolled over the <=33 sample rows)."""
     na, nb = a.shape[0], b.shape[0]
     n = na + nb
-    pos_a = jnp.sum(
-        (b[None, :, :] < a[:, None, :]).astype(jnp.int32), axis=1
-    ) + jnp.arange(na)[:, None]
-    pos_b = jnp.sum(
-        (a[None, :, :] <= b[:, None, :]).astype(jnp.int32), axis=1
-    ) + jnp.arange(nb)[:, None]
-    perm = jnp.concatenate([pos_a, pos_b], axis=0)  # (n, R)
-    dst = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-    oh = perm[:, None, :] == dst  # (src n, dst n, R)
-    src_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    inv = jnp.sum(jnp.where(oh, src_i, 0), axis=0)  # (n, R)
+    pos_a = jnp.broadcast_to(jnp.arange(na)[:, None], a.shape).astype(jnp.int32)
+    for j in range(nb):
+        pos_a = pos_a + (b[j : j + 1, :] < a).astype(jnp.int32)
+    pos_b = jnp.broadcast_to(jnp.arange(nb)[:, None], b.shape).astype(jnp.int32)
+    for j in range(na):
+        pos_b = pos_b + (a[j : j + 1, :] <= b).astype(jnp.int32)
+    perm = jnp.concatenate([pos_a, pos_b], axis=0)  # (n, R): src -> dst
+    # invert the permutation: inv[d, r] = s with perm[s, r] == d
+    dst = jax.lax.broadcasted_iota(jnp.int32, perm.shape, 0)
+    inv = jnp.zeros(perm.shape, jnp.int32)
+    for s in range(n):
+        inv = inv + jnp.where(perm[s : s + 1, :] == dst, s, 0)
     cat = jnp.concatenate([a, b], axis=0)
     merged = _one_hot_gather_cols(cat, inv)
     if pa is None:

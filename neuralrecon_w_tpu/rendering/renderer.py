@@ -62,9 +62,9 @@ class RenderConfig(NamedTuple):
     # ray-tile of the fused importance sampler kernel (-1 = default 64;
     # 128 needs a raised device scoped-VMEM limit at width 512)
     sampler_tile: int = -1
-    # 'rows' | 'lanes' — sampler kernel VPU-logic layout (see
+    # 'lanes' | 'rows' — sampler kernel VPU-logic layout (see
     # ops/pallas_sampler.py)
-    sampler_layout: str = "rows"
+    sampler_layout: str = "lanes"
 
 
 class SceneInfo(NamedTuple):
