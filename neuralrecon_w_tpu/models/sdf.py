@@ -97,13 +97,15 @@ def _layer_weight(p):
     return p["w"]
 
 
-def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
-    """Full SDF forward: (..., 3) -> (..., d_out) = [sdf | feature].
+def apply_sdf_split(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32,
+                    with_feature: bool = True):
+    """SDF forward with split outputs: (..., 3) -> (sdf (..., 1),
+    feature (..., d_out-1) or None).
 
     act_dtype: dtype the hidden activations flow in. bfloat16 halves the
     dominant HBM traffic of training (activations stored for backward);
     weights stay f32 and are cast per-matmul, so weight-norm precision
-    is unaffected. Output is always f32.
+    is unaffected. Outputs are always f32.
     """
     dims = sdf_layer_dims(cfg)
     skip_in = tuple(cfg["skip_in"])
@@ -118,7 +120,7 @@ def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray
 
     h = inputs
     inv_sqrt2 = np.asarray(1.0 / np.sqrt(2), act_dtype)
-    for l in range(n_layers):
+    for l in range(n_layers - 1):
         p = params[f"lin{l}"]
         w = _layer_weight(p).astype(act_dtype)
         if l in skip_in:
@@ -130,16 +132,37 @@ def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray
             h = (h @ w[:d_h] + inputs @ w[d_h:]) * inv_sqrt2 + p["b"].astype(act_dtype)
         else:
             h = h @ w + p["b"].astype(act_dtype)
-        if l < n_layers - 1:
-            h = softplus_beta(h, 100.0)
-    h = h.astype(jnp.float32)
-    out = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
-    return out.reshape(*shape, dims[-1])
+        h = softplus_beta(h, 100.0)
+    # last layer split by OUTPUT column blocks: [sdf | feature]. The
+    # fused 513-wide output forces a d_out-wide materialization plus a
+    # profiled 1.2 ms/step re-tiling slice downstream; two GEMMs emit
+    # the consumers' shapes directly (and sdf-only sweeps skip the
+    # feature GEMM entirely).
+    p = params[f"lin{n_layers - 1}"]
+    w = _layer_weight(p).astype(act_dtype)
+    b = p["b"].astype(act_dtype)
+    sdf = (h @ w[:, :1] + b[:1]).astype(jnp.float32) / scale
+    feat = None
+    if with_feature:
+        feat = (h @ w[:, 1:] + b[1:]).astype(jnp.float32)
+    return sdf.reshape(*shape, 1), (
+        feat.reshape(*shape, dims[-1] - 1) if with_feature else None
+    )
+
+
+def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
+    """Full SDF forward: (..., 3) -> (..., d_out) = [sdf | feature]
+    (concat convenience wrapper over apply_sdf_split; hot paths consume
+    the split outputs directly)."""
+    sdf, feat = apply_sdf_split(params, cfg, x, act_dtype)
+    return jnp.concatenate([sdf, feat], axis=-1)
 
 
 def sdf_value(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
-    """Signed distance only: (..., 3) -> (...,)."""
-    return apply_sdf(params, cfg, x, act_dtype)[..., 0]
+    """Signed distance only: (..., 3) -> (...,). Skips the feature-head
+    GEMM entirely (refresh / mesh-extraction / sampler sweeps)."""
+    sdf, _ = apply_sdf_split(params, cfg, x, act_dtype, with_feature=False)
+    return sdf[..., 0]
 
 
 def sdf_value_feat_grad(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32):
@@ -147,10 +170,11 @@ def sdf_value_feat_grad(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32):
 
     Returns sdf (...,), feat (..., d_out-1), grad (..., 3). Differentiable
     w.r.t. params and x (higher-order AD for the eikonal term)."""
-    out, pullback = jax.vjp(lambda pts: apply_sdf(params, cfg, pts, act_dtype), x)
-    cot = jnp.zeros_like(out).at[..., 0].set(1.0)
-    (grad,) = pullback(cot)
-    return out[..., 0], out[..., 1:], grad
+    (sdf, feat), pullback = jax.vjp(
+        lambda pts: apply_sdf_split(params, cfg, pts, act_dtype), x
+    )
+    (grad,) = pullback((jnp.ones_like(sdf), jnp.zeros_like(feat)))
+    return sdf[..., 0], feat, grad
 
 
 def sdf_value_feat_grad_fwdmode(params, cfg, x: jnp.ndarray):
