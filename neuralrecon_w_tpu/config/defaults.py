@@ -114,6 +114,12 @@ _CN.TRAINER.CANONICAL_LR = 1e-3
 _CN.TRAINER.SCALING = None
 _CN.TRAINER.SAVE_DIR = "checkpoints"
 _CN.TRAINER.VAL_FREQ = 0.125
+# validation-render downscale; -1 = the reference rule max(8,
+# IMG_DOWNSCALE) (reference phototourism.py:70-71, an OOM guard for
+# megapixel photos). Set explicitly for small images — the forced /8
+# turns a 64x48 synthetic view into 8x6 px and wrecks val/psnr (16 vs
+# 27 at downscale 2 on the same checkpoint, BENCHMARKS.md).
+_CN.TRAINER.VAL_DOWNSCALE = -1
 _CN.TRAINER.SAVE_FREQ = 5000
 
 _CN.TRAINER.OPTIMIZER = "adam"

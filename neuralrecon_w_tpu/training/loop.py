@@ -357,12 +357,15 @@ class Trainer:
             )
             self._steps[key] = make_render_fn(self.fc, rcfg)
         if self._val_meta is None:
-            # val images render at downscale >= 8 (reference
-            # phototourism.py:70-71 forces this to avoid OOM)
+            # val images render at downscale >= 8 by default (reference
+            # phototourism.py:70-71 forces this to avoid OOM on
+            # megapixel photos); TRAINER.VAL_DOWNSCALE overrides for
+            # small images where /8 wrecks the metric
+            vds = int(getattr(self.cfg.TRAINER, "VAL_DOWNSCALE", -1))
+            if vds <= 0:
+                vds = max(8, int(self.cfg.DATASET.PHOTOTOURISM.IMG_DOWNSCALE))
             self._val_meta = load_scene_meta(
-                self.cfg.DATASET.ROOT_DIR,
-                max(8, int(self.cfg.DATASET.PHOTOTOURISM.IMG_DOWNSCALE)),
-                sfm_path=self.meta.sfm_path,
+                self.cfg.DATASET.ROOT_DIR, vds, sfm_path=self.meta.sfm_path,
             )
         val_id = self._val_meta.img_ids_train[0]  # reference phototourism.py:695
         metrics = validation_report(

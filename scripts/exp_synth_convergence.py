@@ -66,6 +66,7 @@ def main():
             "PHOTOTOURISM": {"IMG_DOWNSCALE": 1},
         },
         "TRAINER": {"SAVE_FREQ": 3000, "VAL_FREQ": 500.0,
+                    "VAL_DOWNSCALE": 2,
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
         "TPU": {"FIELD_DTYPE": "bfloat16"},
     }
