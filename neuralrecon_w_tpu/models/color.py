@@ -57,9 +57,15 @@ def init_color(key, cfg, in_channels_a: int, encode_a: bool, dtype=jnp.float32):
     return params
 
 
-def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature, a_embedded=None, act_dtype=None):
+def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature, a_embedded=None, act_dtype=None, n_samples=None):
     """All inputs (N, d); returns rgb (N, 3) in [0, 1]. act_dtype casts
-    the hidden activations (see models/sdf.py)."""
+    the hidden activations (see models/sdf.py).
+
+    n_samples: when set, view_dirs and a_embedded are PER-RAY
+    (N // n_samples, d) — their static-head GEMM contribution is
+    computed at ray granularity and broadcast, instead of broadcasting
+    the inputs to every sample first (the broadcasts are pure HBM cost
+    and the per-ray GEMM is n_samples x smaller)."""
     import jax.numpy as _jnp
 
     if act_dtype is not None and act_dtype != _jnp.float32:
@@ -78,13 +84,37 @@ def apply_color(params, cfg, encode_a: bool, points, normals, view_dirs, feature
         # concat-fed layers run as row-block partial GEMMs (see
         # apply_linear_parts) — the materialized concats are pure HBM
         # cost at training batch sizes
-        h = jax.nn.relu(
-            apply_linear_parts(params["static0"], (xyz_final, view_dirs, a_embedded))
-        )
+        if n_samples is not None:
+            # per-ray (view, a) contribution computed once per ray
+            p0 = params["static0"]
+            w = p0["w"] if "w" in p0 else None
+            assert w is not None, "static head layers are plain linears"
+            d_f = xyz_final.shape[-1]
+            z_pt = xyz_final @ w[:d_f]
+            z_ray = apply_linear_parts(
+                {"w": w[d_f:], "b": p0["b"]}, (view_dirs, a_embedded)
+            )
+            z = (z_pt.reshape(-1, n_samples, z_pt.shape[-1])
+                 + z_ray[:, None, :]).reshape(z_pt.shape)
+            h = jax.nn.relu(z)
+        else:
+            h = jax.nn.relu(
+                apply_linear_parts(params["static0"], (xyz_final, view_dirs, a_embedded))
+            )
         for s in range(1, cfg["static_head_layers"]):
             h = jax.nn.relu(apply_linear(params[f"static{s}"], h))
         first_parts = (points, normals, h)
     else:
+        if n_samples is not None:
+            # no static head to ride: broadcast per-ray inputs up front
+            def up(t):
+                return jnp.broadcast_to(
+                    t[:, None, :], (t.shape[0], n_samples, t.shape[-1])
+                ).reshape(-1, t.shape[-1])
+
+            view_dirs = up(view_dirs)
+            if a_embedded is not None:
+                a_embedded = up(a_embedded)
         if cfg["mode"] == "idr":
             first_parts = (points, view_dirs, normals, feature)
         elif cfg["mode"] == "no_view_dir":

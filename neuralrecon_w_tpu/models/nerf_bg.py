@@ -49,11 +49,13 @@ def init_nerf_bg(key, encode_appearance: bool, in_channels_a: int = 48, dtype=jn
 
 
 def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs,
-                  a_embedded=None, act_dtype=None):
+                  a_embedded=None, act_dtype=None, n_samples=None):
     """pts4 (N, 4) = [xyz/r, 1/r]; returns (density (N,1), rgb (N,3)).
 
     act_dtype: optional hidden-activation dtype (see models/sdf.py);
-    outputs are cast back to f32."""
+    outputs are cast back to f32. n_samples: view_dirs / a_embedded are
+    per-ray (N // n_samples, ·) — their appearance-head contribution is
+    computed at ray granularity (see models/color.py)."""
     if act_dtype is not None and act_dtype != jnp.float32:
         params = jax.tree.map(lambda l: l.astype(act_dtype), params)
         pts4 = pts4.astype(act_dtype)
@@ -76,15 +78,26 @@ def apply_nerf_bg(params, encode_appearance: bool, pts4, view_dirs,
 
     alpha = apply_linear(params["alpha"], h)
     feature = apply_linear(params["feature"], h)
+
+    def head(p, ray_parts):
+        # per-sample feature contribution + per-ray (view, a) part
+        # broadcast after its R-row GEMM
+        w = p["w"]
+        d_f = feature.shape[-1]
+        z = feature @ w[:d_f]
+        if n_samples is None:
+            z = z + apply_linear_parts({"w": w[d_f:], "b": p["b"]}, ray_parts)
+        else:
+            z_ray = apply_linear_parts({"w": w[d_f:], "b": p["b"]}, ray_parts)
+            z = (z.reshape(-1, n_samples, z.shape[-1])
+                 + z_ray[:, None, :]).reshape(z.shape)
+        return jax.nn.relu(z)
+
     if encode_appearance:
-        h = jax.nn.relu(
-            apply_linear_parts(params["app0"], (feature, pe_view, a_embedded))
-        )
+        h = head(params["app0"], (pe_view, a_embedded))
         for s in range(1, D // 2):
             h = jax.nn.relu(apply_linear(params[f"app{s}"], h))
     else:
-        h = jax.nn.relu(
-            apply_linear_parts(params["views0"], (feature, pe_view))
-        )
+        h = head(params["views0"], (pe_view,))
     rgb = apply_linear(params["rgb"], h)
     return alpha.astype(jnp.float32), rgb.astype(jnp.float32)

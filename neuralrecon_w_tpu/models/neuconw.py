@@ -114,17 +114,29 @@ def field_sdf(params, fc: FieldConfig, pts: jnp.ndarray) -> jnp.ndarray:
     return sdf_value(params["neuconw"]["sdf"], fc.sdf_cfg, pts, _act(fc))
 
 
-def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
+def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded,
+                  n_samples=None):
     """Foreground field evaluation at flattened sample points.
 
     Args:
-        pts, dirs: (N, 3); a_embedded: (N, n_a).
+        pts: (N, 3); dirs, a_embedded: (N, ·), or (N // n_samples, ·)
+            PER-RAY when n_samples is set (they are constant along a
+            ray — the color head then computes their contribution at
+            ray granularity, see models/color.py).
     Returns:
         rgb (N, 3), inv_s scalar, sdf (N,), gradients (N, 3).
     Matches NeuconW.forward semantics (reference models/neuconw.py:339-376)
     with the gradient from one fused vjp instead of a second autograd pass.
     """
     sdf_cfg = fc.sdf_cfg
+    if n_samples is not None and fc.grad_mode == "pallas_field":
+        # the fused kernel consumes flat per-sample inputs
+        def up(t):
+            return jnp.broadcast_to(
+                t[:, None, :], (t.shape[0], n_samples, t.shape[-1])
+            ).reshape(-1, t.shape[-1])
+
+        dirs, a_embedded, n_samples = up(dirs), up(a_embedded), None
     if fc.grad_mode == "pallas_field":
         # fully-fused field: SDF + gradient + color head, forward AND
         # backward as Pallas kernels (ops/pallas_field_train.py)
@@ -165,6 +177,7 @@ def field_forward(params, fc: FieldConfig, pts, dirs, a_embedded):
         feat,
         a_embedded,
         act_dtype=_act(fc),
+        n_samples=n_samples,
     )
     return rgb, inv_s(params), sdf, grad
 
@@ -176,13 +189,23 @@ def field_rgb(params, fc: FieldConfig, pts, dirs, a_embedded):
     return rgb
 
 
-def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded):
-    """Background NeRF evaluation; pts4 (N, 4) inverted-sphere coords."""
+def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded,
+                     n_samples=None):
+    """Background NeRF evaluation; pts4 (N, 4) inverted-sphere coords.
+    dirs / a_embedded may be per-ray with n_samples set (see
+    apply_nerf_bg)."""
     a = a_embedded if fc.encode_a_bg else None
     if fc.bg_mode == "pallas":
+        if n_samples is not None:
+            def up(t):
+                return None if t is None else jnp.broadcast_to(
+                    t[:, None, :], (t.shape[0], n_samples, t.shape[-1])
+                ).reshape(-1, t.shape[-1])
+
+            dirs, a = up(dirs), up(a)
         from ..ops.pallas_nerf_bg import nerf_bg_pallas
 
         return nerf_bg_pallas(params["nerf_bg"], fc.encode_a_bg, pts4,
                               dirs, a, act_dtype=fc.act_dtype)
     return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a,
-                         act_dtype=_act(fc))
+                         act_dtype=_act(fc), n_samples=n_samples)

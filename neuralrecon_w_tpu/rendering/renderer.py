@@ -263,11 +263,11 @@ def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a
     pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]
     r = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
     pts4 = jnp.concatenate([pts / r, 1.0 / r], axis=-1).reshape(-1, 4)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (batch, n, 3)).reshape(-1, 3)
-    a_exp = jnp.broadcast_to(a_embedded[:, None, :], (batch, n, a_embedded.shape[-1]))
-    a_exp = a_exp.reshape(batch * n, -1)
 
-    density, color = field_background(params, fc, pts4, dirs, a_exp)
+    # dirs / appearance are per-ray constants (models/nerf_bg.py
+    # n_samples path computes their head contribution at R rows)
+    density, color = field_background(params, fc, pts4, rays_d, a_embedded,
+                                      n_samples=n)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch, n)) * dists)
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones((batch, 1)), 1.0 - alpha + 1e-7], axis=-1), axis=-1
@@ -310,15 +310,15 @@ def render_core(
 
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
-    a_exp = jnp.broadcast_to(
-        a_embedded[:, None, :], (batch, n, a_embedded.shape[-1])
-    ).reshape(batch * n, -1)
 
     fwd = field_forward
     if rcfg.remat_field:
-        fwd = jax.checkpoint(field_forward, static_argnums=(1,))
+        fwd = jax.checkpoint(field_forward, static_argnums=(1, 5))
+    # dirs / appearance are constant along a ray: pass them per-ray so
+    # the color head computes their GEMM contribution at R rows instead
+    # of R*S (models/color.py n_samples path)
     rgb_flat, inv_s, sdf_flat, grad_flat = fwd(
-        params, fc, pts_flat, dirs_flat, a_exp
+        params, fc, pts_flat, rays_d, a_embedded, n
     )
     rgb = rgb_flat.reshape(batch, n, 3)
     sdf = sdf_flat.reshape(batch, n)

@@ -117,7 +117,18 @@ def test_render_core_outside_parity(ref_renderer):
     )
 
     orig = ours.field_background
-    ours.field_background = lambda params, fc, pts4, dirs, a_: bg_jax(pts4, dirs, a_)
+
+    def bg_stub(params, fc, pts4, dirs, a_, n_samples=None):
+        if n_samples is not None:
+            def up(t):
+                return jnp.broadcast_to(
+                    t[:, None, :], (t.shape[0], n_samples, t.shape[-1])
+                ).reshape(-1, t.shape[-1])
+
+            dirs, a_ = up(dirs), up(a_)
+        return bg_jax(pts4, dirs, a_)
+
+    ours.field_background = bg_stub
     try:
         out = ours.render_core_outside(
             None, None, None, jnp.asarray(o), jnp.asarray(d),
@@ -170,7 +181,16 @@ def test_render_core_parity(ref_renderer, cos_anneal):
     )
 
     # --- ours (field monkeypatched to the identical analytic field) ---
-    def field_forward_stub(params, fc, pts, dirs, a_):
+    def field_forward_stub(params, fc, pts, dirs, a_, n_samples=None):
+        if n_samples is not None:
+            # render_core passes per-ray dirs/appearance (renderer.py
+            # n_samples path); the analytic stub wants per-sample rows
+            def up(t):
+                return jnp.broadcast_to(
+                    t[:, None, :], (t.shape[0], n_samples, t.shape[-1])
+                ).reshape(-1, t.shape[-1])
+
+            dirs, a_ = up(dirs), up(a_)
         rgb, sdf, grad = field_jax(pts, dirs, a_)
         return rgb, jnp.asarray(INV_S), sdf, grad
 
