@@ -165,3 +165,40 @@ def test_field_sdf_batched_shapes():
     pts = jnp.zeros((4, 5, 3))
     out = field_sdf(params, fc, pts)
     assert out.shape == (4, 5)
+
+
+def test_field_forward_per_ray_inputs_match_broadcast():
+    """dirs / appearance are constant along a ray; the n_samples path
+    computes their head contributions at ray granularity
+    (models/color.py) and must match the broadcast-to-samples path to
+    float rounding in both activation dtypes."""
+    from neuralrecon_w_tpu.models.neuconw import field_forward
+
+    for dtype, tol in (("float32", 1e-6), ("bfloat16", 5e-3)):
+        cfg = get_cfg_defaults()
+        n = cfg.NEUCONW
+        n.SDF_CONFIG.d_hidden = 128
+        n.SDF_CONFIG.d_out = 129
+        n.SDF_CONFIG.n_layers = 4
+        n.SDF_CONFIG.skip_in = (2,)
+        n.COLOR_CONFIG.d_feature = 128
+        n.COLOR_CONFIG.d_hidden = 64
+        n.COLOR_CONFIG.n_layers = 2
+        n.N_VOCAB = 16
+        cfg.TPU.FIELD_DTYPE = dtype
+        fc = field_config_from_cfg(cfg)
+        params = init_field(jax.random.PRNGKey(0), fc)
+        R, S = 12, 5
+        rs = np.random.RandomState(0)
+        pts = jnp.asarray(rs.randn(R * S, 3).astype(np.float32) * 0.3)
+        d = rs.randn(R, 3).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+        a = jnp.asarray(rs.randn(R, fc.n_a).astype(np.float32))
+        d_full = jnp.broadcast_to(d[:, None, :], (R, S, 3)).reshape(-1, 3)
+        a_full = jnp.broadcast_to(a[:, None, :], (R, S, fc.n_a)).reshape(-1, fc.n_a)
+
+        rgb1, _, sdf1, g1 = field_forward(params, fc, pts, d_full, a_full)
+        rgb2, _, sdf2, g2 = field_forward(params, fc, pts, d, a, n_samples=S)
+        np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb2), atol=tol)
+        np.testing.assert_allclose(np.asarray(sdf1), np.asarray(sdf2), atol=tol)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=tol)
