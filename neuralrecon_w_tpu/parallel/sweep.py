@@ -156,6 +156,16 @@ def sharded_rgb_sweep(
     (ops/pallas_field.py, ~30% faster than the XLA path)."""
     pts = np.asarray(pts, np.float32)
     dirs = np.broadcast_to(np.asarray(view_dir, np.float32), pts.shape).copy()
+    n_vocab = int(np.asarray(params["embedding_a"]).shape[0])
+    if a_index >= n_vocab:
+        # the reference CLI hardcodes index 1123 (tools/extract_mesh.py:157)
+        # which small scenes' vocab cannot cover
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "appearance index %d >= N_VOCAB %d; clamping", a_index, n_vocab
+        )
+        a_index = n_vocab - 1
     a_vec = np.asarray(params["embedding_a"][a_index])
     a = np.broadcast_to(a_vec, (pts.shape[0], a_vec.shape[-1])).copy()
     if use_fused is None:
