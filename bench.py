@@ -32,6 +32,36 @@ A100_REFERENCE_RAYS_PER_SEC = 20_000.0
 BATCH = int(os.environ.get("NW_BENCH_BATCH", 8192))
 WARMUP = 3
 ITERS = int(os.environ.get("NW_BENCH_ITERS", 30))
+# Steady-state phase: after the first octree_update (step 5000) the
+# reference samples through the online SDF-surface grid for ~99% of
+# training (reference rendering/renderer.py:415-456). Level 10 over the
+# scene cube matches the brandenburg_gate production setup
+# (TRAIN_VOXEL_SIZE 0.08, scale ~20 -> level ceil(log2(2*20/0.08))=9;
+# we bench one level harder).
+FINE_LEVEL = int(os.environ.get("NW_BENCH_FINE_LEVEL", 10))
+PHASE = os.environ.get("NW_BENCH_PHASE", "both")  # warmup | steady | both
+
+
+def make_fine_grid(level: int):
+    """Synthetic online surface grid: the voxel shell of the unit sphere
+    (the scene surface in _make_batch's geometry), built through the
+    production octree_update machinery (27-dilated, morton-sorted,
+    packed bitfield)."""
+    from neuralrecon_w_tpu.ops.ray_voxel import make_device_grid
+    from neuralrecon_w_tpu.ops.voxel_grid import grid_from_points
+
+    rs = np.random.RandomState(7)
+    pts = rs.randn(2_000_000, 3)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = 2.0
+    voxel = 2.0 * scale / (1 << level)
+    host = grid_from_points(
+        pts, np.full(3, -scale), np.full(3, scale), voxel, expand=1
+    )
+    assert host.level == level, (host.level, level)
+    kind = os.environ.get("NW_BENCH_GRID", "auto")
+    hier = None if kind == "auto" else (kind == "hier")
+    return host, make_device_grid(host, hierarchical=hier)
 
 
 def main():
@@ -67,33 +97,48 @@ def main():
     copts = dict(kv.split("=", 1)
                  for kv in os.environ.get("NW_BENCH_COMPILER_OPTS", "").split(";")
                  if kv) or None
-    step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
-                   donate_argnums=(0,), compiler_options=copts)
     state = init_state(jax.random.PRNGKey(0), fc, opt)
     scene = _scene_info()
     batch = _make_batch(BATCH, fc.n_vocab)
     rng = jax.random.PRNGKey(1)
 
-    for _ in range(WARMUP):
-        state, aux = step(state, scene, batch, rng)
-    # value fetch, not block_until_ready: remote-device transports may
-    # resolve readiness before execution completes; pulling the scalar
-    # guarantees the whole dependent chain actually ran
-    float(aux["loss"])
+    def timed(step, state, *extra):
+        for _ in range(WARMUP):
+            state, aux = step(state, scene, batch, rng, *extra)
+        # value fetch, not block_until_ready: remote-device transports may
+        # resolve readiness before execution completes; pulling the scalar
+        # guarantees the whole dependent chain actually ran
+        float(aux["loss"])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, aux = step(state, scene, batch, rng, *extra)
+        loss = float(aux["loss"])
+        dt = time.perf_counter() - t0
+        assert loss == loss, "NaN loss in benchmark"
+        return state, BATCH * ITERS / dt
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, aux = step(state, scene, batch, rng)
-    loss = float(aux["loss"])
-    dt = time.perf_counter() - t0
-    assert loss == loss, "NaN loss in benchmark"
+    phases = {}
+    if PHASE in ("warmup", "both"):
+        step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
+                       donate_argnums=(0,), compiler_options=copts)
+        state, phases["warmup"] = timed(step, state)
+    if PHASE in ("steady", "both"):
+        rcfg_fine = render_config_from_cfg(cfg, fine_level=FINE_LEVEL)
+        _, fine_grid = make_fine_grid(FINE_LEVEL)
+        step = jax.jit(
+            make_train_step(fc, rcfg_fine, lcfg, opt, anneal_end=50000),
+            donate_argnums=(0,), compiler_options=copts)
+        state, phases["steady"] = timed(step, state, fine_grid, None)
 
-    rays_per_sec = BATCH * ITERS / dt
+    # headline = the phase the reference spends ~99% of training in
+    headline = phases.get("steady", phases.get("warmup"))
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(headline, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(headline / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "phases": {k: round(v, 1) for k, v in phases.items()},
+        "fine_level": FINE_LEVEL if "steady" in phases else None,
     }))
 
 

@@ -35,7 +35,7 @@ import numpy as np
 from ..datasets.rays import get_ray_directions, get_rays
 from ..ops.morton import points_to_morton
 from ..ops.native import rasterize_depth_native
-from ..ops.ray_voxel import DeviceGrid, dda_traverse, device_grid_from_host
+from ..ops.ray_voxel import DeviceGrid, make_device_grid, traverse
 from ..ops.voxel_grid import VoxelGrid, _sort_coords, level_for_voxel_size
 
 
@@ -89,8 +89,8 @@ def render_hit_codes(
     for i in range(0, len(rays_o), chunk):
         o = (rays_o[i : i + chunk] - grid.origin) / grid.scale
         d = rays_d[i : i + chunk]
-        t_first, _, hit = dda_traverse(
-            dgrid.occ, grid.level, jnp.asarray(o, jnp.float32),
+        t_first, _, hit = traverse(
+            dgrid, grid.level, jnp.asarray(o, jnp.float32),
             jnp.asarray(d, jnp.float32), first_only=True,
         )
         t_first = np.asarray(t_first)
@@ -126,8 +126,8 @@ def voxel_depth_map(
     for i in range(0, len(rays_o), chunk):
         o = (rays_o[i : i + chunk] - grid.origin) / grid.scale
         d = rays_d[i : i + chunk]
-        t_first, _, hit = dda_traverse(
-            dgrid.occ, grid.level, jnp.asarray(o, jnp.float32),
+        t_first, _, hit = traverse(
+            dgrid, grid.level, jnp.asarray(o, jnp.float32),
             jnp.asarray(d, jnp.float32), first_only=True,
         )
         depth[i : i + chunk] = np.where(
@@ -265,7 +265,7 @@ def reprojection_filter(
                 keep[view_hits(cam)] = True
     else:
         grid = voxelize_points(verts, voxel_size)
-        dgrid = device_grid_from_host(grid)
+        dgrid = make_device_grid(grid)
         observed = np.zeros(0, np.int64)
         for K, c2w, wh in cameras:
             codes = render_hit_codes(dgrid, grid, K, c2w, wh, chunk)

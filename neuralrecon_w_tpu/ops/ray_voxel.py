@@ -142,8 +142,181 @@ def dda_traverse(
     return t_first, t_last, hit
 
 
+class HierGrid(NamedTuple):
+    """Two-level device occupancy: a dense bitfield of 8^3-cell blocks at
+    level L-3 plus per-occupied-block fine bit words, rank-indexed.
+
+    Replaces the flat 2^{3L} bitfield for deep grids — L=12 flat costs
+    8.6 GB of HBM where this stays ~35 MB + 64 B per occupied block
+    (the sparsity role of kaolin SPC, reference
+    tools/prepare_data/generate_voxel.py:149-186) — and gives the DDA a
+    coarse skip: empty space advances in 8-cell strides, so the
+    while_loop trip count stops scaling as 3*2^L.
+    """
+
+    meta: jnp.ndarray  # (2^{3(L-3)}/32, 2) uint32: [coarse word, block rank base]
+    fine: jnp.ndarray  # (16 * n_blocks,) uint32: 512 occupancy bits per block
+    origin: jnp.ndarray  # (3,) float32, cube center in SFM coords
+    scale: jnp.ndarray  # () float32, cube half-extent
+    voxel_size: jnp.ndarray  # () float32, FINE cell edge in SFM units
+
+
+def hier_grid_from_host(grid: VoxelGrid) -> HierGrid:
+    """Build the packed two-level structure from a host VoxelGrid."""
+    assert grid.level >= 3, "hierarchical grid needs level >= 3"
+    n_c = 1 << (grid.level - 3)
+    coords = grid.coords.astype(np.int64)
+    blocks = coords >> 3
+    bidx = (blocks[:, 0] * n_c + blocks[:, 1]) * n_c + blocks[:, 2]
+
+    n_words = max(n_c * n_c * n_c // 32, 1)
+    cwords = np.zeros((n_words,), np.uint32)
+    np.bitwise_or.at(cwords, bidx >> 5, np.uint32(1) << (bidx & 31).astype(np.uint32))
+    # exclusive prefix of per-word popcounts: block slot = rank[word] +
+    # popcount(word & ((1 << bit) - 1)) — the classic succinct rank
+    pc = np.unpackbits(cwords.view(np.uint8)).reshape(-1, 32).sum(axis=1)
+    rank = np.zeros_like(pc, dtype=np.uint32)
+    np.cumsum(pc[:-1], out=rank[1:])
+    meta = np.stack([cwords, rank.astype(np.uint32)], axis=1)
+
+    ub, inverse = np.unique(bidx, return_inverse=True)  # ascending = slot order
+    fine = np.zeros((max(len(ub), 1), 16), np.uint32)
+    f = (coords & 7).astype(np.int64)
+    fidx = (f[:, 0] * 8 + f[:, 1]) * 8 + f[:, 2]
+    np.bitwise_or.at(
+        fine, (inverse, fidx >> 5), np.uint32(1) << (fidx & 31).astype(np.uint32)
+    )
+    return HierGrid(
+        meta=jnp.asarray(meta),
+        fine=jnp.asarray(fine.reshape(-1)),
+        origin=jnp.asarray(grid.origin, jnp.float32),
+        scale=jnp.asarray(grid.scale, jnp.float32),
+        voxel_size=jnp.asarray(grid.voxel_size, jnp.float32),
+    )
+
+
+def dda_traverse_hier(
+    hg: HierGrid,
+    level: int,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    first_only: bool = False,
+    max_steps: int | None = None,
+):
+    """March rays through a two-level grid (same contract as
+    dda_traverse). Each iteration advances one FINE cell inside occupied
+    blocks and one whole BLOCK (8 cells) through empty space — the cell
+    exit is recomputed analytically per step at the chosen granularity,
+    so no incremental tmax state needs to survive granularity switches.
+    """
+    n_f = 1 << level
+    n_c = n_f >> 3
+    if max_steps is None:
+        # a mixed-granularity march can never cross more boundaries than
+        # the all-fine worst case
+        max_steps = 3 * n_f + 2
+    r = rays_o.shape[0]
+    w_f = 2.0 / n_f
+    w_c = 2.0 / n_c
+    n_blocks = hg.fine.shape[0] // 16
+
+    d = jnp.where(jnp.abs(rays_d) < 1e-12, 1e-12, rays_d)
+    inv_d = 1.0 / d
+
+    t0 = (-1.0 - rays_o) * inv_d
+    t1 = (1.0 - rays_o) * inv_d
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+    t_leave = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    cube_hit = t_leave > t_enter
+    # probe nudge: quarter-millicell along the dominant axis, in t units
+    eps_t = w_f * 1e-3 / jnp.max(jnp.abs(d), axis=-1)
+
+    step_dir = (d > 0).astype(jnp.float32)
+
+    state = (
+        t_enter,  # entry parameter of the current cell
+        jnp.full((r,), _INF),  # first hit
+        jnp.full((r,), -_INF),  # last hit
+        cube_hit,  # active
+        jnp.int32(0),
+    )
+
+    def cond(s):
+        _, _, _, active, i = s
+        return jnp.any(active) & (i < max_steps)
+
+    def body(s):
+        t_cur, first, last, active, i = s
+        p = rays_o + d * (t_cur + eps_t)[:, None]
+        c = jnp.clip(jnp.floor((p + 1.0) / w_f), 0, n_f - 1).astype(jnp.int32)
+        b = c >> 3
+
+        bidx = (b[:, 0] * n_c + b[:, 1]) * n_c + b[:, 2]
+        row = hg.meta[bidx >> 5]  # (R, 2): [word, rank base]
+        word = row[:, 0]
+        bit = (bidx & 31).astype(jnp.uint32)
+        blk_occ = ((word >> bit) & jnp.uint32(1)) == 1
+        low_mask = (jnp.uint32(1) << bit) - jnp.uint32(1)
+        slot = row[:, 1].astype(jnp.int32) + jax.lax.population_count(
+            word & low_mask
+        ).astype(jnp.int32)
+
+        f = c & 7
+        fidx = (f[:, 0] * 8 + f[:, 1]) * 8 + f[:, 2]
+        fword = hg.fine[
+            jnp.clip(slot * 16 + (fidx >> 5), 0, n_blocks * 16 - 1)
+        ]
+        occ_hit = (
+            blk_occ
+            & (((fword >> (fidx & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1)
+            & active
+        )
+        first = jnp.where(occ_hit & (first >= _INF), t_cur, first)
+        last = jnp.where(occ_hit, t_cur, last)
+
+        # advance to the exit of the current cell: fine granularity inside
+        # occupied blocks, whole-block skip through empty ones
+        use_fine = blk_occ[:, None]
+        cell_g = jnp.where(use_fine, c, b).astype(jnp.float32)
+        w_g = jnp.where(use_fine, w_f, w_c)
+        hi = (cell_g + step_dir) * w_g - 1.0
+        t_ex = jnp.min((hi - rays_o) * inv_d, axis=-1)
+        t_next = jnp.maximum(t_ex, t_cur + eps_t)  # guarantee progress
+
+        active = active & (t_next < t_leave)
+        if first_only:
+            active = active & (first >= _INF)
+        return t_next, first, last, active, i + 1
+
+    _, first, last, _, _ = jax.lax.while_loop(cond, body, state)
+    hit = first < _INF
+    t_first = jnp.where(hit, first, 0.0)
+    t_last = jnp.where(hit, last, 0.0)
+    return t_first, t_last, hit
+
+
+# grids at/above this level ship as two-level structures by default
+HIER_LEVEL_DEFAULT = 9
+
+
+def make_device_grid(grid: VoxelGrid, hierarchical: bool | None = None):
+    """Host -> device grid, picking the flat bitfield for shallow grids
+    and the two-level structure for deep ones (flat level-12 occupancy
+    alone would be 8.6 GB of HBM)."""
+    if hierarchical is None:
+        hierarchical = grid.level >= HIER_LEVEL_DEFAULT
+    return hier_grid_from_host(grid) if hierarchical else device_grid_from_host(grid)
+
+
+def traverse(grid, level, rays_o, rays_d, first_only=False, max_steps=None):
+    """Type-dispatched DDA over either device-grid representation."""
+    if isinstance(grid, HierGrid):
+        return dda_traverse_hier(grid, level, rays_o, rays_d, first_only, max_steps)
+    return dda_traverse(grid.occ, level, rays_o, rays_d, first_only, max_steps)
+
+
 def grid_near_far(
-    grid: DeviceGrid,
+    grid,
     level: int,
     rays_o_sfm: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -151,9 +324,10 @@ def grid_near_far(
 ):
     """near/far from voxel intersection, SFM units (get_near_far parity:
     far is the ENTRY of the last voxel — callers add voxel_size — and
-    rays starting inside a voxel, t <= 1e-4, count as misses)."""
+    rays starting inside a voxel, t <= 1e-4, count as misses). Accepts
+    either a DeviceGrid or a HierGrid."""
     o_norm = (rays_o_sfm - grid.origin) / grid.scale
-    t_first, t_last, hit = dda_traverse(grid.occ, level, o_norm, rays_d, first_only)
+    t_first, t_last, hit = traverse(grid, level, o_norm, rays_d, first_only)
     valid = hit & (t_first > 1e-4)
     near = jnp.where(valid, t_first * grid.scale, 0.0)
     far = jnp.where(valid, t_last * grid.scale, 0.0)

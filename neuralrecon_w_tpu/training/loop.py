@@ -25,7 +25,7 @@ from ..datasets.cache import RayPool, local_split_names, read_ray_cache
 from ..datasets.mask_utils import get_label_id_mapping
 from ..datasets.phototourism import SCENE_DEFAULTS, load_scene_meta
 from ..models.neuconw import field_config_from_cfg
-from ..ops.ray_voxel import device_grid_from_host
+from ..ops.ray_voxel import make_device_grid
 from ..ops.voxel_grid import VoxelGrid, grid_from_sfm_points
 from ..parallel.mesh import make_mesh, shard_rays
 from ..rendering.renderer import SceneInfo, render_config_from_cfg
@@ -40,9 +40,9 @@ def val_interval(val_freq: float, steps_per_epoch: int) -> int:
     """Steps between validations. VAL_FREQ follows Lightning's
     val_check_interval dual semantics (reference train.py:57, per-scene
     configs use 10000.0 = every 10k steps, defaults 0.125 = 8x/epoch):
-    values < 1.0 are a fraction of an epoch, values >= 1 are a step
-    count."""
-    if val_freq >= 1.0:
+    values <= 1.0 are a fraction of an epoch (Lightning treats float 1.0
+    as once per epoch), values > 1 are a step count."""
+    if val_freq > 1.0:
         return int(val_freq)
     return max(int(steps_per_epoch * val_freq), 1)
 
@@ -115,7 +115,7 @@ class Trainer:
             sc, self.meta.points3d, sc["min_track_length"], sc["voxel_size"],
             expand=1, radius=1.0,
         )
-        self.sfm_dgrid = device_grid_from_host(self.sfm_grid)
+        self.sfm_dgrid = make_device_grid(self.sfm_grid)
         self.train_level = surface_level(sc, float(cfg.NEUCONW.TRAIN_VOXEL_SIZE))
 
         self.fc = field_config_from_cfg(cfg)
@@ -163,7 +163,7 @@ class Trainer:
                 self.state = self.state._replace(opt_state=restored["opt_state"])
             if "fine_grid" in restored:
                 self.fine_grid_host = restored["fine_grid"]
-                self.fine_dgrid = device_grid_from_host(self.fine_grid_host)
+                self.fine_dgrid = make_device_grid(self.fine_grid_host)
 
         self._render_chunk = None
         self._val_meta = None

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..models.neuconw import FieldConfig
-from ..ops.ray_voxel import DeviceGrid, device_grid_from_host
+from ..ops.ray_voxel import DeviceGrid, make_device_grid
 from ..ops.voxel_grid import VoxelGrid, level_for_voxel_size, scene_bbx_sfm
 from ..parallel.sweep import sharded_sdf_sweep
 
@@ -98,7 +98,7 @@ def octree_update(
     ).astype(np.int64)
     host = VoxelGrid(level, sfm_grid.origin, sfm_grid.scale,
                      _dedup_sort(cells, level))
-    return host, device_grid_from_host(host)
+    return host, make_device_grid(host)
 
 
 def _dedup_sort(cells: np.ndarray, level: int) -> np.ndarray:

@@ -124,3 +124,81 @@ def test_dda_miss():
     near, far, valid = grid_near_far(dgrid, grid.level, rays_o, rays_d)
     assert not bool(valid[0])
     assert float(near[0]) == 0.0 and float(far[0]) == 0.0
+
+
+def test_hier_dda_matches_brute_force():
+    """Two-level DDA agrees with the numpy oracle at several levels,
+    including rays that miss and rays starting inside the cube."""
+    from neuralrecon_w_tpu.ops.ray_voxel import hier_grid_from_host
+
+    for seed, level, n_vox in ((0, 5, 40), (1, 7, 300), (2, 9, 800)):
+        grid, rays_o, rays_d = _random_grid_and_rays(seed, level, n_vox, 96)
+        hg = hier_grid_from_host(grid)
+        near, far, valid = grid_near_far(hg, grid.level, rays_o, rays_d)
+        near_bf, far_bf, valid_bf = brute_force_near_far(grid, rays_o, rays_d)
+        near, far, valid = np.asarray(near), np.asarray(far), np.asarray(valid)
+        np.testing.assert_array_equal(valid, valid_bf, err_msg=f"level={level}")
+        assert valid.sum() > len(valid) * 0.9
+        np.testing.assert_allclose(near[valid], near_bf[valid], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(far[valid], far_bf[valid], rtol=1e-3, atol=1e-4)
+
+
+def test_hier_dda_first_only_and_miss():
+    from neuralrecon_w_tpu.ops.ray_voxel import hier_grid_from_host
+
+    grid, rays_o, rays_d = _random_grid_and_rays(seed=3, level=6, n_vox=60)
+    hg = hier_grid_from_host(grid)
+    near_full, _, valid_full = grid_near_far(hg, grid.level, rays_o, rays_d)
+    near_first, _, valid_first = grid_near_far(
+        hg, grid.level, rays_o, rays_d, first_only=True
+    )
+    np.testing.assert_array_equal(np.asarray(valid_full), np.asarray(valid_first))
+    np.testing.assert_allclose(
+        np.asarray(near_full), np.asarray(near_first), rtol=1e-5, atol=1e-6
+    )
+    # parallel miss
+    miss = grid_near_far(
+        hg, grid.level,
+        np.array([[0.0, 0.0, -50.0]], np.float32) + grid.origin,
+        np.array([[0.0, 1.0, 0.0]], np.float32),
+    )
+    assert not bool(miss[2][0])
+
+
+def test_hier_level12_memory_and_parity():
+    """Level-12 traversal: flat occupancy would be 8.6 GB; the two-level
+    structure must stay small and agree with the oracle (VERDICT r01 #4)."""
+    from neuralrecon_w_tpu.ops.ray_voxel import hier_grid_from_host
+
+    rng = np.random.RandomState(11)
+    # a thin shell of surface voxels, the realistic occupancy pattern
+    pts = rng.randn(20000, 3)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    level = 12
+    res = 1 << level
+    cells = np.clip(
+        np.floor((pts * 0.5 + 1.0) / 2.0 * res), 0, res - 1
+    ).astype(np.int64)
+    cells = np.unique(cells, axis=0)
+    grid = VoxelGrid(level, np.zeros(3), 2.0, cells.astype(np.int32))
+    hg = hier_grid_from_host(grid)
+    nbytes = sum(int(np.asarray(x).nbytes) for x in (hg.meta, hg.fine))
+    assert nbytes < 200 * 1024 * 1024, f"{nbytes/1e6:.0f} MB"
+
+    origins = grid.origin + np.array([0.0, 0.0, -2.5 * grid.scale]) + rng.randn(32, 3) * 0.3
+    targets = grid.centers_sfm()[rng.randint(0, len(cells), 32)]
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    near, far, valid = grid_near_far(
+        hg, level, origins.astype(np.float32), dirs.astype(np.float32),
+        first_only=True,
+    )
+    near_bf, _, valid_bf = brute_force_near_far(
+        grid, origins.astype(np.float32), dirs.astype(np.float32)
+    )
+    valid = np.asarray(valid)
+    np.testing.assert_array_equal(valid, valid_bf)
+    assert valid.sum() > 28
+    np.testing.assert_allclose(
+        np.asarray(near)[valid], near_bf[valid], rtol=1e-3, atol=1e-4
+    )
