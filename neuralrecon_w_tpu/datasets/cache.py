@@ -78,20 +78,28 @@ def write_ray_cache(
 
 
 def local_split_names(split_root: str, world_size: int, rank: int, seed: int = 6):
-    """Seeded disjoint split assignment (reference datasets/data.py:83-100)."""
+    """Seeded disjoint split assignment (reference datasets/data.py:83-100).
+
+    The reference hard-asserts world_size | n_splits (datasets/data.py:42-45);
+    here the remainder is instead distributed disjointly — the first
+    ``n % world_size`` ranks get one extra split — so shard unions are
+    always a partition of the split set (no host ever trains on another
+    host's shard)."""
     names = sorted(
         d for d in os.listdir(split_root)
         if os.path.isdir(os.path.join(split_root, d))
     )
     n = len(names)
-    perm = np.random.RandomState(seed).permutation(names)
-    if n % world_size != 0:
-        padding = np.random.RandomState(seed).choice(
-            names, world_size - (n % world_size), replace=True
+    if world_size > n:
+        raise ValueError(
+            f"world_size {world_size} exceeds the {n} cache splits; "
+            "regenerate the cache with more splits"
         )
-        perm = np.concatenate([perm, padding])
-    per = len(perm) // world_size
-    return list(perm[per * rank : per * (rank + 1)])
+    perm = np.random.RandomState(seed).permutation(names)
+    base, rem = divmod(n, world_size)
+    start = rank * base + min(rank, rem)
+    count = base + (1 if rank < rem else 0)
+    return list(perm[start : start + count])
 
 
 def read_ray_cache(

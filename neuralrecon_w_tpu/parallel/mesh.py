@@ -53,9 +53,11 @@ def field_param_specs(mesh: Mesh, params) -> dict:
     Megatron-style column sharding of every linear's output dim over the
     ``model`` axis (weight-norm g/b shard with it), and vocab sharding of
     the appearance table — XLA inserts the psum/all-gathers implied by
-    the annotations. Dims not divisible by the model-axis size stay
-    replicated (the flagship dims 512/513/5000 need no padding for the
-    common 2/4/8-way meshes only when divisible; we check per leaf).
+    the annotations. Output dims not divisible by the model-axis size
+    (the flagship SDF head's d_out=513) fall back to ROW sharding of the
+    input dim — the matmul partial sums become an XLA-inserted
+    all-reduce, so no flagship dimension needs doctoring for TP to
+    engage. Only leaves hostile on both dims stay replicated.
     """
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -67,8 +69,11 @@ def field_param_specs(mesh: Mesh, params) -> dict:
         if "embedding_a" in names:
             return P(MODEL_AXIS) if shape[0] % n_model == 0 else P()
         last = names[-1] if names else ""
-        if last in ("v", "w") and len(shape) == 2 and shape[1] % n_model == 0:
-            return P(None, MODEL_AXIS)
+        if last in ("v", "w") and len(shape) == 2:
+            if shape[1] % n_model == 0:
+                return P(None, MODEL_AXIS)  # column (output) sharding
+            if shape[0] % n_model == 0:
+                return P(MODEL_AXIS, None)  # row (input) sharding
         if last in ("g", "b") and len(shape) == 1 and shape[0] % n_model == 0:
             return P(MODEL_AXIS)
         return P()

@@ -167,34 +167,24 @@ def test_jit_train_step_multidevice():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_tensor_parallel_matches_data_parallel():
-    """A (4 data x 2 model) mesh with Megatron-style param sharding must
-    produce the same loss and updated params as pure data parallel."""
+def _run_tp_equals_dp(cfg, batch_size=16):
+    """TP (4 data x 2 model) and pure DP must produce the same loss and
+    updated params; returns the spec tree for sharding-shape asserts."""
     from neuralrecon_w_tpu.parallel.mesh import field_param_specs
     from neuralrecon_w_tpu.parallel import shard_rays
 
-    cfg = tiny_cfg()
-    # tensor-sharded dims must divide the model axis (2)
-    cfg.NEUCONW.SDF_CONFIG.d_out = 66
-    cfg.NEUCONW.COLOR_CONFIG.d_feature = 65
     fc = field_config_from_cfg(cfg)
     rcfg = render_config_from_cfg(cfg)
     lcfg = loss_config_from_cfg(cfg)
     opt, _ = make_optimizer(cfg, 2048)
     step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
-    batch = make_batch(16)
+    batch = make_batch(batch_size)
     rng = jax.random.PRNGKey(1)
     sc = scene()
 
     mesh_tp = make_mesh(n_model=2)
     s0 = init_state(jax.random.PRNGKey(0), fc, opt)
     specs = field_param_specs(mesh_tp, s0.params)
-    # at least the hidden-layer weights must actually shard
-    from jax.sharding import PartitionSpec as P
-
-    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
-    n_sharded = sum(1 for s in spec_leaves if isinstance(s, P) and s != P())
-    assert n_sharded > 4, specs
     j_tp = jit_train_step(step, mesh_tp, donate=False, param_specs=specs)
     s_tp, aux_tp = j_tp(s0, sc, shard_rays(mesh_tp, batch), rng, None, None)
 
@@ -207,6 +197,50 @@ def test_tensor_parallel_matches_data_parallel():
                                rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s_tp.params), jax.tree.leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    return specs
+
+
+def test_tensor_parallel_matches_data_parallel():
+    """TP==DP on the tiny config with its NATURAL shard-hostile dims
+    (d_out 65): the odd output dim must engage the row-sharding fallback
+    instead of silently replicating (VERDICT r01 #5)."""
+    from jax.sharding import PartitionSpec as P
+    from neuralrecon_w_tpu.parallel.mesh import MODEL_AXIS
+
+    specs = _run_tp_equals_dp(tiny_cfg())
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    n_col = sum(1 for s in spec_leaves if s == P(None, MODEL_AXIS))
+    n_row = sum(1 for s in spec_leaves if s == P(MODEL_AXIS, None))
+    assert n_col > 4, specs
+    assert n_row >= 1, specs  # the d_out=65 head row-shards
+
+
+@pytest.mark.slow
+def test_tensor_parallel_flagship_widths():
+    """TP==DP at the UNMODIFIED flagship widths: SDF 8x512 d_out=513,
+    color 4x256 d_feature=512, vocab 5000 (VERDICT r01 #5)."""
+    from jax.sharding import PartitionSpec as P
+    from neuralrecon_w_tpu.parallel.mesh import MODEL_AXIS
+
+    cfg = get_cfg_defaults()
+    n = cfg.NEUCONW
+    n.N_SAMPLES = 4
+    n.N_IMPORTANCE = 4
+    n.UP_SAMPLE_STEP = 2
+    n.N_OUTSIDE = 2
+    n.BOUNDARY_SAMPLES = 2
+    n.ANNEAL_END = 10
+    n.N_VOCAB = 5000  # flagship vocab (defaults ship 1500)
+    assert n.SDF_CONFIG.d_out == 513  # flagship SDF head
+    specs = _run_tp_equals_dp(cfg, batch_size=8)
+    spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert any(s == P(MODEL_AXIS, None) for s in spec_leaves), specs
+    # the appearance table vocab-shards (5000 % 2 == 0)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda x: isinstance(x, P))[0]
+    emb = [s for p, s in flat
+           if any("embedding_a" in str(getattr(k, "key", "")) for k in p)]
+    assert emb and all(s == P(MODEL_AXIS) for s in emb), emb
 
 
 def test_train_step_with_grids():
@@ -342,6 +376,27 @@ def test_device_ray_pool():
         src = set(map(tuple, np.round(pool.rays, 5)))
         for row in np.asarray(b["rays"])[:16]:
             assert tuple(np.round(row, 5)) in src
+
+
+def test_local_split_names_partition(tmp_path):
+    """Shard assignment is a partition of the split set for every world
+    size, including ones that do not divide the split count (the
+    reference asserts divisibility instead, datasets/data.py:42-45)."""
+    from neuralrecon_w_tpu.datasets.cache import local_split_names
+
+    n_splits = 10
+    for i in range(n_splits):
+        (tmp_path / f"split_{i}").mkdir()
+    for world in (1, 2, 3, 4, 7, 8, 10):
+        shards = [local_split_names(str(tmp_path), world, r) for r in range(world)]
+        flat = [s for shard in shards for s in shard]
+        assert len(flat) == n_splits, (world, shards)
+        assert len(set(flat)) == n_splits, (world, shards)
+        assert all(shard for shard in shards)
+    import pytest
+
+    with pytest.raises(ValueError):
+        local_split_names(str(tmp_path), n_splits + 1, 0)
 
 
 def test_bf16_activations_descend():
