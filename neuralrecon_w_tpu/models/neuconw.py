@@ -206,6 +206,8 @@ def field_background(params, fc: FieldConfig, pts4, dirs, a_embedded,
         from ..ops.pallas_nerf_bg import nerf_bg_pallas
 
         return nerf_bg_pallas(params["nerf_bg"], fc.encode_a_bg, pts4,
-                              dirs, a, act_dtype=fc.act_dtype)
+                              dirs, a, act_dtype=fc.act_dtype,
+                              **({"tile": fc.kernel_tile}
+                                 if fc.kernel_tile > 0 else {}))
     return apply_nerf_bg(params["nerf_bg"], fc.encode_a_bg, pts4, dirs, a,
                          act_dtype=_act(fc), n_samples=n_samples)

@@ -113,7 +113,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         fused_sampler_sdf=bool(fused),
         remat_field=bool(remat),
         sampler_tile=int(getattr(cfg.TPU, "SAMPLER_TILE", -1)),
-        sampler_layout=str(getattr(cfg.TPU, "SAMPLER_LAYOUT", "rows")),
+        sampler_layout=str(getattr(cfg.TPU, "SAMPLER_LAYOUT", "lanes")),
     )
 
 

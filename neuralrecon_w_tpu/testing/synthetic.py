@@ -161,8 +161,24 @@ def make_synthetic_scene(
     scene_name: str | None = None,
     with_semantics: bool = True,
     shape: str = "sphere",
+    appearance_jitter: float = 0.0,
+    transient_occluders: bool = False,
 ) -> dict:
-    """Write a full workspace under root_dir; returns scene metadata."""
+    """Write a full workspace under root_dir; returns scene metadata.
+
+    The two "in the wild" axes (the reason NeuS-W exists — reference
+    lightning_modules/neuconw_system.py:74-78, 348-355):
+      * ``appearance_jitter`` > 0 varies illumination per image: the
+        light direction, a per-channel color gain and an exposure factor
+        are each jittered per image — the photometric chaos of internet
+        photo collections that the appearance embedding must absorb.
+      * ``transient_occluders`` paints an opaque block of random size /
+        color / position over every other TRAIN image, labeled
+        ``person`` (ADE20K id 12) in its semantic map — the pedestrians
+        / vehicles that RAY_MASK_LIST must keep out of the geometry.
+        Occluders are view-inconsistent by construction (a different
+        rectangle per image), held-out test views stay clean.
+    """
     rs = np.random.RandomState(seed)
     w, h = img_wh
     os.makedirs(os.path.join(root_dir, "dense/sparse"), exist_ok=True)
@@ -185,16 +201,48 @@ def make_synthetic_scene(
     from PIL import Image as PILImage
 
     names = []
+    appearance_log = {}
+    occluder_log = {}
+    base_light = np.array([0.3, 0.2, 0.9])
     for idx in range(n_images):
         ang = 2 * np.pi * idx / n_images
         eye = np.array(
             [np.cos(ang) * cam_dist, np.sin(ang) * cam_dist, 0.6 + 0.2 * np.sin(3 * ang)]
         )
         R, t = _look_at(eye, np.zeros(3))
+
+        rs_img = np.random.RandomState(seed * 1009 + 17 * idx + 3)
+        light = base_light
+        gain = np.ones(3)
+        if appearance_jitter > 0:
+            light = base_light + appearance_jitter * rs_img.randn(3)
+            light = light / np.linalg.norm(light)
+            gain = np.clip(
+                (1.0 + 0.4 * appearance_jitter * rs_img.randn(3))
+                * 2.0 ** (appearance_jitter * rs_img.randn()),
+                0.3, 2.5,
+            )
+        appearance_log[idx] = {"light": light.tolist(), "gain": gain.tolist()}
+
         if shape == "sphere":
-            img, _, hit = _render_sphere_image(K, R, t, w, h, sphere_radius)
+            img, _, hit = _render_sphere_image(K, R, t, w, h, sphere_radius, light)
         else:
-            img, _, hit = _render_sdf_image(K, R, t, w, h, sphere_radius, shape)
+            img, _, hit = _render_sdf_image(K, R, t, w, h, sphere_radius, shape, light)
+        if appearance_jitter > 0:
+            img = np.clip(img.astype(np.float64) * gain, 0, 255).astype(np.uint8)
+
+        transient = np.zeros((h, w), bool)
+        is_train = idx < n_images - n_test
+        if transient_occluders and is_train and idx % 2 == 0:
+            bw = rs_img.randint(w // 5, w // 2)
+            bh = rs_img.randint(h // 4, (2 * h) // 3)
+            x0 = rs_img.randint(0, w - bw)
+            y0 = rs_img.randint(0, h - bh)
+            transient[y0 : y0 + bh, x0 : x0 + bw] = True
+            img = img.copy()
+            img[transient] = rs_img.randint(0, 256, 3, np.uint8)
+            occluder_log[idx] = [int(x0), int(y0), int(bw), int(bh)]
+
         name = f"img_{idx:03d}.jpg"
         names.append(name)
         PILImage.fromarray(img).save(
@@ -202,8 +250,11 @@ def make_synthetic_scene(
         )
         if with_semantics:
             # pixels that miss the sphere are "sky" (ADE20K id 2) — like
-            # real semantic maps, so the mask BCE carves empty space
+            # real semantic maps, so the mask BCE carves empty space;
+            # painted occluders are "person" (id 12), the canonical
+            # RAY_MASK_LIST transient class
             sem = np.where(hit, 0, 2).astype(np.int16)
+            sem[transient] = 12
             np.savez_compressed(
                 os.path.join(root_dir, "semantic_maps", f"img_{idx:03d}.npz"), sem
             )
@@ -295,4 +346,6 @@ def make_synthetic_scene(
         "shape": shape,
         "n_points": len(points3d),
         "names": names,
+        "appearance": appearance_log,
+        "occluders": occluder_log,
     }
