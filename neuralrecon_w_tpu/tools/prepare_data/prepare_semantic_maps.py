@@ -7,6 +7,13 @@ semantic_maps/. The contract consumed downstream is only the npz label
 map with ADE20K ids (datasets/mask_utils.py), so any segmentation
 backend honoring that contract plugs in here:
 
+  * --backend segformer: a real ADE20K model — any transformers
+    SegFormer checkpoint directory saved with ``save_pretrained`` (e.g.
+    nvidia/segformer-b4-finetuned-ade-512-512 fetched on a machine with
+    egress). Weights-dir contract: ``config.json`` +
+    ``model.safetensors`` (or ``pytorch_model.bin``); pass it via
+    --weights. SegFormer's ADE class indices 0..149 map to the
+    reference's 1..150 ids (mask_utils) by a +1 shift.
   * --backend torchvision: torchvision deeplabv3 (needs local weights
     via --weights; its VOC/COCO labels are remapped onto the few ADE20K
     ids the pipeline consumes: person/car/sky-equivalents),
@@ -40,10 +47,49 @@ def get_opts(argv=None):
     parser.add_argument("--root_dir", type=str, required=True)
     parser.add_argument("--out_path", type=str, default="semantic_maps")
     parser.add_argument("--backend", type=str, default="constant",
-                        choices=["constant", "torchvision"])
+                        choices=["constant", "segformer", "torchvision"])
     parser.add_argument("--weights", type=str, default=None,
-                        help="local torchvision deeplabv3 state_dict path")
+                        help="local weights: a transformers SegFormer "
+                             "checkpoint dir (--backend segformer) or a "
+                             "torchvision deeplabv3 state_dict path")
     return parser.parse_args(argv)
+
+
+def _load_segformer(weights_dir: str):
+    """Local-only SegFormer load; returns (model, infer_fn)."""
+    import torch
+    from transformers import SegformerForSemanticSegmentation
+
+    if not weights_dir or not os.path.isdir(weights_dir):
+        raise SystemExit(
+            "--backend segformer needs --weights pointing at a local "
+            "SegFormer checkpoint directory (config.json + "
+            "model.safetensors), e.g. a save_pretrained() dump of "
+            "nvidia/segformer-b4-finetuned-ade-512-512"
+        )
+    model = SegformerForSemanticSegmentation.from_pretrained(
+        weights_dir, local_files_only=True
+    )
+    model.eval()
+
+    mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
+    std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
+
+    def infer(img_np: np.ndarray) -> np.ndarray:
+        h, w = img_np.shape[:2]
+        x = torch.from_numpy(img_np.astype(np.float32).transpose(2, 0, 1) / 255.0)[None]
+        x = (x - mean) / std
+        with torch.no_grad():
+            logits = model(pixel_values=x).logits  # (1, C, h/4, w/4)
+            logits = torch.nn.functional.interpolate(
+                logits, size=(h, w), mode="bilinear", align_corners=False
+            )
+            cls = logits[0].argmax(0).numpy()
+        # SegFormer ADE20K heads index classes 0..149; the reference's
+        # label table (mask_utils) is 1-based ADE ids
+        return (cls + 1).astype(np.int16)
+
+    return model, infer
 
 
 def main(argv=None):
@@ -53,16 +99,19 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     images = sorted(glob.glob(os.path.join(img_dir, "*")))
+    infer = None
     model = None
-    if args.backend == "torchvision":
+    if args.backend == "segformer":
+        _, infer = _load_segformer(args.weights)
+    elif args.backend == "torchvision":
         try:
             import torch
             from torchvision.models.segmentation import deeplabv3_resnet101
         except ImportError as e:
             raise SystemExit(
                 "--backend torchvision needs the torchvision package "
-                "(not present in this environment); use --backend constant "
-                "or provide another ADE20K segmentation source"
+                "(not present in this environment); use --backend segformer "
+                "with local ADE20K weights or --backend constant"
             ) from e
 
         model = deeplabv3_resnet101(weights=None, num_classes=21)
@@ -76,7 +125,9 @@ def main(argv=None):
         name = os.path.basename(path).split(".")[0]
         img = PILImage.open(path).convert("RGB")
         w, h = img.size
-        if model is None:
+        if infer is not None:
+            sem = infer(np.asarray(img))
+        elif model is None:
             sem = np.zeros((h, w), np.int16)
         else:
             import torch
