@@ -48,7 +48,9 @@ def voxelize_points(verts: np.ndarray, voxel_size: float) -> VoxelGrid:
     origin = (vmin + vmax) / 2
     scale = float(np.max(vmax - vmin) / 2 * 1.01 + 1e-6)
     level = max(level_for_voxel_size(scale, voxel_size, "floor"), 1)
-    level = min(level, 10)  # 1024^3 occupancy bitfield cap (128 MB)
+    # two-level occupancy (ops/ray_voxel.HierGrid) keeps deep grids
+    # small; 12 bounds the worst-case DDA trip count, not memory
+    level = min(level, 12)
     res = 1 << level
     cells = np.clip(
         np.floor(((verts - origin) / scale + 1.0) / 2.0 * res), 0, res - 1
@@ -100,6 +102,72 @@ def render_hit_codes(
         pos = o[hit] + d[hit] * (t_first[hit, None] + 1e-5)
         cells = np.clip(np.floor((pos + 1.0) / cell_w), 0, res - 1).astype(np.int64)
         codes.append(points_to_morton(cells))
+    if not codes:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(codes))
+
+
+def render_hit_codes_multi(
+    dgrid,
+    grid: VoxelGrid,
+    cameras: list,
+    chunk: int = 262144,
+) -> np.ndarray:
+    """Unique first-hit voxel codes over MANY views in fixed-shape
+    device batches.
+
+    The per-view path dispatches one DDA call per view; with hundreds of
+    eval cameras (and small images) the lockstep while_loop runs mostly
+    empty. Packing rays from as many views as fit into each
+    ``chunk``-sized call keeps every lane busy and pads the final batch
+    to the same shape, so XLA compiles exactly one traversal — the
+    throughput role of the reference's `ray` actor fan-out
+    (reference utils/reproj_filter.py:172,277-288)."""
+    import jax.numpy as jnp
+
+    res = grid.res
+    cell_w = 2.0 / res
+    codes = []
+    buf_o, buf_d, n_buf = [], [], 0
+
+    def flush():
+        nonlocal buf_o, buf_d, n_buf
+        if n_buf == 0:
+            return
+        o = (np.concatenate(buf_o) - grid.origin) / grid.scale
+        d = np.concatenate(buf_d)
+        n = len(o)
+        if n < chunk:  # pad to the compiled shape with guaranteed misses
+            pad = chunk - n
+            o = np.concatenate([o, np.full((pad, 3), 4.0)])
+            d = np.concatenate([d, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
+        for i in range(0, len(o), chunk):
+            t_first, _, hit = traverse(
+                dgrid, grid.level, jnp.asarray(o[i:i + chunk], jnp.float32),
+                jnp.asarray(d[i:i + chunk], jnp.float32), first_only=True,
+            )
+            t_first = np.asarray(t_first)[: max(min(n - i, chunk), 0)]
+            hit = np.asarray(hit)[: max(min(n - i, chunk), 0)]
+            if not hit.any():
+                continue
+            oo, dd = o[i:i + chunk][: len(hit)], d[i:i + chunk][: len(hit)]
+            pos = oo[hit] + dd[hit] * (t_first[hit, None] + 1e-5)
+            cells = np.clip(
+                np.floor((pos + 1.0) / cell_w), 0, res - 1
+            ).astype(np.int64)
+            codes.append(points_to_morton(cells))
+        buf_o, buf_d, n_buf = [], [], 0
+
+    for K, c2w, wh in cameras:
+        w, h = wh
+        dirs = get_ray_directions(h, w, K)
+        rays_o, rays_d = get_rays(dirs, c2w)
+        buf_o.append(rays_o)
+        buf_d.append(rays_d)
+        n_buf += len(rays_o)
+        if n_buf >= chunk:
+            flush()
+    flush()
     if not codes:
         return np.zeros(0, np.int64)
     return np.unique(np.concatenate(codes))
@@ -266,10 +334,7 @@ def reprojection_filter(
     else:
         grid = voxelize_points(verts, voxel_size)
         dgrid = make_device_grid(grid)
-        observed = np.zeros(0, np.int64)
-        for K, c2w, wh in cameras:
-            codes = render_hit_codes(dgrid, grid, K, c2w, wh, chunk)
-            observed = np.union1d(observed, codes)
+        observed = render_hit_codes_multi(dgrid, grid, cameras, chunk)
         vcodes = vertex_voxel_codes(grid, target)
         keep = np.isin(vcodes, observed)
 

@@ -324,3 +324,37 @@ def test_reprojection_filter_mesh_mode_remaps_faces():
     if len(kept_faces):
         assert kept_faces.max() < len(kept)
     assert mask.mean() > 0.7
+
+
+def test_render_hit_codes_multi_matches_per_view():
+    """The packed multi-view DDA path returns exactly the union of the
+    per-view hit-code sets, including with a partial padded last batch."""
+    from neuralrecon_w_tpu.evaluation.reproj_filter import (
+        render_hit_codes, render_hit_codes_multi, voxelize_points,
+    )
+    from neuralrecon_w_tpu.ops.ray_voxel import make_device_grid
+
+    surf = sphere_samples(500, r=1.0, seed=7) - SCENE_ORIGIN
+    grid = voxelize_points(surf, 0.15)
+    dgrid = make_device_grid(grid)
+
+    cameras = []
+    K = np.array([[40.0, 0, 24], [0, 40.0, 18], [0, 0, 1]])
+    for ang in np.linspace(0, 2 * np.pi, 7, endpoint=False):
+        eye = np.array([np.cos(ang) * 4, np.sin(ang) * 4, 0.5])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        down = np.cross(fwd, right)
+        c2w = np.stack([right, -down, -fwd], axis=1)
+        c2w = np.concatenate([c2w, eye[:, None]], axis=1)
+        cameras.append((K, c2w, (48, 36)))
+
+    per_view = np.zeros(0, np.int64)
+    for Kc, c2w, wh in cameras:
+        per_view = np.union1d(
+            per_view, render_hit_codes(dgrid, grid, Kc, c2w, wh)
+        )
+    # chunk 4000 forces several flushes + one padded partial batch
+    multi = render_hit_codes_multi(dgrid, grid, cameras, chunk=4000)
+    np.testing.assert_array_equal(multi, per_view)
