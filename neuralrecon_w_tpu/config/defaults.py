@@ -185,6 +185,12 @@ _CN.TPU.SAMPLER_TILE = -1
 # on sublanes), fixing the <25% lane utilization of 'rows' at n<=32
 # samples: 89.2k -> 91.7k rays/s on the headline bench (BENCHMARKS.md)
 _CN.TPU.SAMPLER_LAYOUT = "lanes"
+# surface-guided sampling's first-hit query against the online fine
+# grid: 'sampled' (default) replaces the exact DDA while_loop with one
+# dense occupancy gather over [near, far] — sub-voxel band placement at
+# a fraction of the latency; 'dda' restores the exact march
+_CN.TPU.SURFACE_QUERY = "sampled"
+_CN.TPU.SURFACE_QUERY_SAMPLES = 1024
 
 
 def get_cfg_defaults():

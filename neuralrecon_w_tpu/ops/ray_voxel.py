@@ -295,6 +295,69 @@ def dda_traverse_hier(
     return t_first, t_last, hit
 
 
+def occupancy_lookup(grid, level: int, pts: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized occupancy test for points in grid-normalized [-1,1]^3
+    coordinates; any leading shape. Out-of-cube points read False only
+    through cell clipping (callers mask by range when it matters)."""
+    n_f = 1 << level
+    c = jnp.clip(jnp.floor((pts + 1.0) * (n_f / 2.0)), 0, n_f - 1).astype(jnp.int32)
+    if isinstance(grid, HierGrid):
+        n_c = n_f >> 3
+        n_blocks = grid.fine.shape[0] // 16
+        b = c >> 3
+        bidx = (b[..., 0] * n_c + b[..., 1]) * n_c + b[..., 2]
+        row = grid.meta[bidx >> 5]
+        word = row[..., 0]
+        bit = (bidx & 31).astype(jnp.uint32)
+        blk = ((word >> bit) & jnp.uint32(1)) == 1
+        low = (jnp.uint32(1) << bit) - jnp.uint32(1)
+        slot = row[..., 1].astype(jnp.int32) + jax.lax.population_count(
+            word & low
+        ).astype(jnp.int32)
+        f = c & 7
+        fidx = (f[..., 0] * 8 + f[..., 1]) * 8 + f[..., 2]
+        fw = grid.fine[jnp.clip(slot * 16 + (fidx >> 5), 0, n_blocks * 16 - 1)]
+        return blk & (((fw >> (fidx & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1)
+    idx = (c[..., 0] * n_f + c[..., 1]) * n_f + c[..., 2]
+    word = grid.occ[idx >> 5]
+    return ((word >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)) == 1
+
+
+def sampled_first_hit(
+    grid,
+    level: int,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_lo: jnp.ndarray,
+    t_hi: jnp.ndarray,
+    n_samples: int = 1024,
+):
+    """Approximate first-hit parameter by dense occupancy sampling of
+    [t_lo, t_hi] — the loop-free surface query for the steady-state
+    sampling band.
+
+    The exact DDA (dda_traverse*) is a lax.while_loop whose per-
+    iteration latency dominates the training step; the band placement
+    it feeds (+- sample_range voxels, rendering/renderer.py
+    near_far_from_fine_grid) tolerates sub-voxel error, so one
+    (R, n_samples) occupancy gather + argmax replaces the march.
+    Resolution: (t_hi - t_lo) / n_samples per ray; structures thinner
+    than the step can be missed, so callers must keep the step at or
+    below the (dilated) surface-shell thickness.
+
+    Returns (t_first, hit) with t_first = 0 on miss (grid_near_far
+    contract)."""
+    rel = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    t = t_lo[:, None] + (t_hi - t_lo)[:, None] * rel[None, :]  # (R, K)
+    p = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    inside = jnp.max(jnp.abs(p), axis=-1) < 1.0
+    occ = occupancy_lookup(grid, level, p) & inside
+    hit = jnp.any(occ, axis=1)
+    idx = jnp.argmax(occ, axis=1)
+    t_first = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+    return jnp.where(hit, t_first, 0.0), hit
+
+
 # grids at/above this level ship as two-level structures by default
 HIER_LEVEL_DEFAULT = 9
 

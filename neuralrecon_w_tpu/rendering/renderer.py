@@ -65,6 +65,11 @@ class RenderConfig(NamedTuple):
     # 'lanes' | 'rows' — sampler kernel VPU-logic layout (see
     # ops/pallas_sampler.py)
     sampler_layout: str = "lanes"
+    # fine-grid surface query: 'sampled' = loop-free dense occupancy
+    # sampling of [near, far] (sub-voxel-accurate band placement, no
+    # while_loop latency); 'dda' = exact traversal
+    surface_query: str = "sampled"
+    surface_query_samples: int = 1024
 
 
 class SceneInfo(NamedTuple):
@@ -114,6 +119,10 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         remat_field=bool(remat),
         sampler_tile=int(getattr(cfg.TPU, "SAMPLER_TILE", -1)),
         sampler_layout=str(getattr(cfg.TPU, "SAMPLER_LAYOUT", "lanes")),
+        surface_query=str(getattr(cfg.TPU, "SURFACE_QUERY", "sampled")),
+        surface_query_samples=int(
+            getattr(cfg.TPU, "SURFACE_QUERY_SAMPLES", 1024)
+        ),
     )
 
 
@@ -135,11 +144,30 @@ def near_far_from_sfm_grid(rcfg, scene, grid: DeviceGrid, rays_o, rays_d, near, 
 def near_far_from_fine_grid(rcfg, scene, grid: DeviceGrid, rays_o, rays_d, near, far):
     """Surface-guided sampling band: first intersection with the online
     SDF-surface grid +- sample_range voxels, falling back to cached
-    near/far for missed rays (reference rendering/renderer.py:415-456)."""
+    near/far for missed rays (reference rendering/renderer.py:415-456).
+
+    surface_query='sampled' places the band by dense occupancy sampling
+    of the cached [near, far] interval instead of the exact DDA march —
+    the while_loop's per-iteration latency dominates the steady-state
+    step, and the +-sample_range band absorbs the sub-step placement
+    error (the 27-dilated surface shell is >= 3 voxels thick, well above
+    the sampling step)."""
     rays_o_sfm = rays_o * scene.radius + scene.origin
-    surf, _, hit = grid_near_far(
-        grid, rcfg.fine_level, rays_o_sfm, rays_d, first_only=True
-    )
+    if rcfg.surface_query == "sampled":
+        from ..ops.ray_voxel import sampled_first_hit
+
+        o_norm = (rays_o_sfm - grid.origin) / grid.scale
+        t_lo = near[:, 0] * scene.radius / grid.scale
+        t_hi = far[:, 0] * scene.radius / grid.scale
+        t_first, hit = sampled_first_hit(
+            grid, rcfg.fine_level, o_norm, rays_d, t_lo, t_hi,
+            rcfg.surface_query_samples,
+        )
+        surf = jnp.where(hit, t_first * grid.scale, 0.0)
+    else:
+        surf, _, hit = grid_near_far(
+            grid, rcfg.fine_level, rays_o_sfm, rays_d, first_only=True
+        )
     band = rcfg.sample_range * grid.voxel_size
     v_near = (surf - band)[:, None] / scene.radius
     v_far = (surf + band)[:, None] / scene.radius

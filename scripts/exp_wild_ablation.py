@@ -33,34 +33,31 @@ def build_scene(root, **kw):
 
     os.makedirs(root)
     info = make_synthetic_scene(
-        root, n_images=8, n_test=1, img_wh=(40, 30), **kw
+        root, n_images=26, n_test=2, img_wh=(64, 48), n_points=600, **kw
     )
     cache_main(["--root_dir", root, "--split_to_chunks", "8"])
     return info
 
 
-def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=100):
+def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500):
     import yaml
 
+    # the proven synthetic-convergence recipe (exp_synth_convergence.py:
+    # flagship 8x512 nets, F@0.05 0.9965 at 3000 steps) + the W axes
     cfg = {
         "NEUCONW": {
-            "N_SAMPLES": 8, "N_IMPORTANCE": 8, "UP_SAMPLE_STEP": 2,
-            "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
-            "SAMPLE_RANGE": 4, "N_VOCAB": 16, "ANNEAL_END": 100,
-            "UPDATE_FREQ": steps_update, "TRAIN_VOXEL_SIZE": 0.12,
-            "SDF_THRESHOLD": 0.1, "NEAR_FAR_OVERRIDE": True,
+            "N_SAMPLES": 8, "N_IMPORTANCE": 16, "UP_SAMPLE_STEP": 2,
+            "N_OUTSIDE": 4, "BOUNDARY_SAMPLES": 10, "S_VAL_BASE": 3,
+            "SAMPLE_RANGE": 8, "N_VOCAB": 32, "ANNEAL_END": 2000,
+            "UPDATE_FREQ": steps_update, "TRAIN_VOXEL_SIZE": 0.08,
+            "SDF_THRESHOLD": 0.0, "NEAR_FAR_OVERRIDE": True,
             "ENCODE_A": bool(encode_a),
             "RAY_MASK_LIST": ray_mask,
-            "SDF_CONFIG": {"d_hidden": 64, "d_out": 65, "n_layers": 4,
-                           "skip_in": (2,)},
-            "COLOR_CONFIG": {"d_feature": 64, "d_hidden": 32, "n_layers": 2,
-                             "head_channels": 16},
             "MESH_MASK_LIST": ["sky"],
             "DEPTH_LOSS": True,
-            # strong empty-space carving + depth anchoring: the tiny
-            # fixture collapses to the all-negative SDF shift at default
-            # mask_weight (the surface-refresh warning's failure mode)
-            "LOSS": {"depth_weight": 1.0, "mask_weight": 1.0},
+            # reference-style anchoring; igr 0.1 level-shifts the SDF
+            # all-negative on this fixture (BENCHMARKS.md quality table)
+            "LOSS": {"depth_weight": 1.0, "igr_weight": 0.001},
         },
         "DATASET": {
             "ROOT_DIR": root,
@@ -68,14 +65,14 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=100):
             "PHOTOTOURISM": {"IMG_DOWNSCALE": 1},
         },
         "TRAINER": {"SAVE_FREQ": 100000, "VAL_FREQ": 1e9,
-                    "CANONICAL_LR": 1e-3, "CANONICAL_BS": 512},
+                    "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
     }
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
 
 
-def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=512):
+def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
     from neuralrecon_w_tpu.tools.train_cli import main as train_main
     from neuralrecon_w_tpu.tools.extract_mesh_cli import main as extract_main
     from neuralrecon_w_tpu.evaluation import eval_mesh
@@ -84,7 +81,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=512):
 
     trainer = train_main([
         "--cfg_path", cfg_path, "--batch_size", str(batch),
-        "--test_batch_size", "128", "--num_epochs", "1000",
+        "--test_batch_size", "512", "--num_epochs", "1000",
         "--max_steps", str(steps), "--exp_name", tag, "--save_dir", save_dir,
     ])
 
@@ -99,7 +96,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=512):
     mesh_path = os.path.join(save_dir, tag, "mesh.ply")
     extract_main([
         "--cfg_path", cfg_path, "--ckpt_path", ck,
-        "--mesh_size", "64", "--chunk", "16384", "--out", mesh_path,
+        "--mesh_size", "128", "--chunk", "65536", "--out", mesh_path,
     ])
     if not os.path.exists(mesh_path):
         out = {"run": tag, "psnr": round(psnr, 2), "f05": 0.0, "f10": 0.0,
@@ -137,7 +134,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=512):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--out_dir", type=str, default=None)
     ap.add_argument("--jitter", type=float, default=0.35)
     args = ap.parse_args()

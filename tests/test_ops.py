@@ -202,3 +202,45 @@ def test_hier_level12_memory_and_parity():
     np.testing.assert_allclose(
         np.asarray(near)[valid], near_bf[valid], rtol=1e-3, atol=1e-4
     )
+
+
+def test_sampled_first_hit_near_dda():
+    """The loop-free sampled surface query lands within one sampling
+    step of the exact DDA first hit on a dilated shell, for both grid
+    representations."""
+    import jax.numpy as jnp
+    from neuralrecon_w_tpu.ops.ray_voxel import (
+        hier_grid_from_host, sampled_first_hit,
+    )
+    from neuralrecon_w_tpu.ops.voxel_grid import grid_from_points
+
+    rs = np.random.RandomState(5)
+    pts = rs.randn(20000, 3)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    level_target = 7
+    voxel = 4.0 / (1 << level_target)
+    grid = grid_from_points(pts, np.full(3, -2.0), np.full(3, 2.0), voxel,
+                            expand=1)
+    assert grid.level == level_target
+
+    n = 64
+    o = rs.randn(n, 3).astype(np.float32) * 0.05 + np.array([0, 0, 1.8], np.float32)
+    d = -o + rs.randn(n, 3).astype(np.float32) * 0.1
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_norm = ((o - grid.origin) / grid.scale).astype(np.float32)
+
+    for dev in (device_grid_from_host(grid), hier_grid_from_host(grid)):
+        near, _, valid = grid_near_far(dev, grid.level, o, d, first_only=True)
+        t_dda = np.asarray(near) / grid.scale  # normalized units
+        t_lo = jnp.zeros((n,)) + 1e-3
+        t_hi = jnp.full((n,), 2.5)
+        t_s, hit = sampled_first_hit(dev, grid.level, jnp.asarray(o_norm),
+                                     jnp.asarray(d), t_lo, t_hi, 1024)
+        t_s, hit = np.asarray(t_s), np.asarray(hit)
+        valid = np.asarray(valid)
+        agree = hit == valid
+        assert agree.mean() > 0.95, agree.mean()
+        both = hit & valid
+        step = float(2.5 - 1e-3) / 1024
+        err = np.abs(t_s[both] - t_dda[both])
+        assert np.percentile(err, 95) < 2 * step, err.max()
