@@ -272,3 +272,40 @@ class DeviceRayPool:
         """Sampled-with-replacement on-device batch (RNG key in, arrays
         stay on device)."""
         return self._gather(self.data, rng, batch_size)
+
+    def attach_surface(self, grid, level: int, chunk: int = 1 << 18):
+        """Precompute the surface-band first hit (exact DDA) for every
+        pool row and make it part of each gathered batch.
+
+        The band only depends on (ray, fine grid) and the grid only
+        changes at octree_update boundaries, so one pool-wide traversal
+        per refresh replaces a per-step query in the training step (the
+        reference re-raytraces its SPC octree every step,
+        reference rendering/renderer.py:415-430). Call again after every
+        refresh; ``detach_surface`` drops the cache (warm-up phase).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.ray_voxel import grid_near_far
+
+        @jax.jit
+        def query(rays):
+            surf, _, hit = grid_near_far(
+                grid, level, rays[:, 0:3], rays[:, 3:6], first_only=True
+            )
+            return surf, hit
+
+        rays = self.data["rays"]
+        if self._mesh is not None:
+            # sharded pool: one call, rows stay sharded over `data`
+            surf, hit = query(rays)
+        else:
+            parts = [query(rays[i:i + chunk]) for i in range(0, self.n, chunk)]
+            surf = jnp.concatenate([p[0] for p in parts])
+            hit = jnp.concatenate([p[1] for p in parts])
+        self.data = {**self.data, "surf_t": surf, "surf_hit": hit}
+
+    def detach_surface(self):
+        self.data = {k: v for k, v in self.data.items()
+                     if k not in ("surf_t", "surf_hit")}

@@ -141,19 +141,30 @@ def near_far_from_sfm_grid(rcfg, scene, grid: DeviceGrid, rays_o, rays_d, near, 
     return jnp.where(hit, v_near, near), jnp.where(hit, v_far, far), hit
 
 
-def near_far_from_fine_grid(rcfg, scene, grid: DeviceGrid, rays_o, rays_d, near, far):
+def near_far_from_fine_grid(rcfg, scene, grid: DeviceGrid, rays_o, rays_d,
+                            near, far, surf_cache=None):
     """Surface-guided sampling band: first intersection with the online
     SDF-surface grid +- sample_range voxels, falling back to cached
     near/far for missed rays (reference rendering/renderer.py:415-456).
 
-    surface_query='sampled' places the band by dense occupancy sampling
-    of the cached [near, far] interval instead of the exact DDA march —
-    the while_loop's per-iteration latency dominates the steady-state
-    step, and the +-sample_range band absorbs the sub-step placement
-    error (the 27-dilated surface shell is >= 3 voxels thick, well above
-    the sampling step)."""
+    ``surf_cache``, when given, is a per-ray ``(surf_t_sfm, hit)`` pair
+    precomputed by the exact DDA (DeviceRayPool.attach_surface): the
+    band is a pure function of (ray, grid), and the grid only changes at
+    octree_update boundaries, so the training loop amortizes the query
+    across the whole refresh interval instead of paying it per step (the
+    reference re-traverses kaolin SPC every step,
+    reference rendering/renderer.py:415-430).
+
+    Without a cache, surface_query='sampled' places the band by dense
+    occupancy sampling of the cached [near, far] interval instead of the
+    exact DDA march — the while_loop's per-iteration latency dominates a
+    per-step query, and the +-sample_range band absorbs the sub-step
+    placement error (the 27-dilated surface shell is >= 3 voxels thick,
+    well above the sampling step)."""
     rays_o_sfm = rays_o * scene.radius + scene.origin
-    if rcfg.surface_query == "sampled":
+    if surf_cache is not None:
+        surf, hit = surf_cache
+    elif rcfg.surface_query == "sampled":
         from ..ops.ray_voxel import sampled_first_hit
 
         o_norm = (rays_o_sfm - grid.origin) / grid.scale
@@ -183,6 +194,7 @@ def sparse_sampler(
     rays_o, rays_d, near, far, rng,
     fine_grid: Optional[DeviceGrid], sfm_grid: Optional[DeviceGrid],
     perturb: float,
+    surf_cache=None,
 ):
     """Produce foreground z values (R, S), background z values and the
     per-ray base section length (reference rendering/renderer.py:458-568).
@@ -195,7 +207,7 @@ def sparse_sampler(
     sample_near, sample_far = near, far
     if fine_grid is not None:
         sample_near, sample_far, _ = near_far_from_fine_grid(
-            rcfg, scene, fine_grid, rays_o, rays_d, near, far
+            rcfg, scene, fine_grid, rays_o, rays_d, near, far, surf_cache
         )
 
     sample_dist = (sample_far - sample_near) / rcfg.n_samples  # (R, 1)
@@ -463,6 +475,7 @@ def render_rays(
     ray_mask: Optional[jnp.ndarray] = None,
     background_rgb: Optional[jnp.ndarray] = None,
     perturb_overwrite: float = -1.0,
+    surf_cache=None,
 ):
     """Render a ray batch (reference rendering/renderer.py:785-916).
 
@@ -472,6 +485,8 @@ def render_rays(
         labels: (R,) int semantic labels.
         ray_mask: (R,) 1.0 = supervised ray (the reference instead drops
             masked rays; we keep shapes fixed and weight reductions).
+        surf_cache: optional per-ray (surf_t_sfm, hit) from the pool's
+            precomputed surface-band cache (see near_far_from_fine_grid).
     Returns dict of per-ray render outputs + scalar regularizers.
     """
     batch = rays.shape[0]
@@ -497,6 +512,7 @@ def render_rays(
     z_vals, z_vals_outside, sample_dist = sparse_sampler(
         jax.lax.stop_gradient(params), fc, rcfg, scene,
         rays_o, rays_d, near, far, rng, fine_grid, sfm_grid, perturb,
+        surf_cache=surf_cache,
     )
     z_vals = jax.lax.stop_gradient(z_vals)
     sample_dist = jax.lax.stop_gradient(sample_dist)

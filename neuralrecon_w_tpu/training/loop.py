@@ -135,6 +135,7 @@ class Trainer:
         self._steps = {}
         self.fine_grid_host: VoxelGrid | None = None
         self.fine_dgrid = None
+        self.device_pool = None
 
         self.exp_dir = os.path.join(tcfg.save_dir, tcfg.exp_name)
         self.ckpt_dir = os.path.join(self.exp_dir, "checkpoints")
@@ -209,6 +210,14 @@ class Trainer:
         )
         if host is not None:
             self.fine_grid_host, self.fine_dgrid = host, dev
+            self._attach_pool_surface()
+
+    def _attach_pool_surface(self):
+        """Refresh the pool's precomputed surface band (one exact DDA
+        sweep per octree_update, amortized over the refresh interval —
+        the step then reads the band instead of traversing the grid)."""
+        if self.device_pool is not None and self.fine_dgrid is not None:
+            self.device_pool.attach_surface(self.fine_dgrid, self.train_level)
 
     # ------------------------------ loop ------------------------------
 
@@ -236,6 +245,10 @@ class Trainer:
             from ..datasets.cache import DeviceRayPool
 
             device_pool = DeviceRayPool(pool, self.mesh)
+        self.device_pool = device_pool
+        # resume past the first octree_update: band cache for the
+        # restored fine grid
+        self._attach_pool_surface()
 
         # scan fast path: N steps per dispatch when the pool lives on a
         # single data shard (amortizes dispatch latency; essential over

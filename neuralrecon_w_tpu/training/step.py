@@ -68,11 +68,16 @@ def make_train_step(
 
     def loss_fn(params, scene, batch, rng, cos_anneal, fine_grid, sfm_grid):
         ray_mask = ray_mask_from_labels(batch["labels"], ray_mask_ids)
+        # surface-band cache: precomputed first-hit per pool row
+        # (DeviceRayPool.attach_surface) — skips the per-step grid query
+        surf_cache = None
+        if fine_grid is not None and "surf_t" in batch:
+            surf_cache = (batch["surf_t"], batch["surf_hit"])
         results = render_rays(
             params, fc, rcfg, scene,
             batch["rays"], batch["ts"], batch["labels"], rng,
             cos_anneal, fine_grid=fine_grid, sfm_grid=sfm_grid,
-            ray_mask=ray_mask,
+            ray_mask=ray_mask, surf_cache=surf_cache,
         )
         terms = loss_terms(lcfg, results, batch["rgbs"])
         aux = {

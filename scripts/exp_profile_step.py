@@ -42,7 +42,18 @@ def capture(trace_dir: str, n_steps: int):
                 node = getattr(node, p)
             setattr(node, leaf, yaml.safe_load(v))
     fc = field_config_from_cfg(cfg)
-    rcfg = render_config_from_cfg(cfg)
+    # NW_PROFILE_PHASE=steady profiles the surface-guided step (online
+    # fine grid attached, boundary samples active) instead of warm-up
+    phase = os.environ.get("NW_PROFILE_PHASE", "warmup")
+    extra = ()
+    if phase == "steady":
+        from bench import FINE_LEVEL, make_fine_grid
+
+        _, fine_grid = make_fine_grid(FINE_LEVEL)
+        rcfg = render_config_from_cfg(cfg, fine_level=FINE_LEVEL)
+        extra = (fine_grid, None)
+    else:
+        rcfg = render_config_from_cfg(cfg)
     lcfg = loss_config_from_cfg(cfg)
     opt, _ = make_optimizer(cfg, BATCH)
     step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
@@ -53,12 +64,12 @@ def capture(trace_dir: str, n_steps: int):
     rng = jax.random.PRNGKey(1)
 
     for _ in range(3):
-        state, aux = step(state, scene, batch, rng)
+        state, aux = step(state, scene, batch, rng, *extra)
     float(aux["loss"])
 
     with jax.profiler.trace(trace_dir):
         for _ in range(n_steps):
-            state, aux = step(state, scene, batch, rng)
+            state, aux = step(state, scene, batch, rng, *extra)
         float(aux["loss"])
 
 

@@ -31,7 +31,17 @@ def build_scene(root, **kw):
     from neuralrecon_w_tpu.testing import make_synthetic_scene
     from neuralrecon_w_tpu.tools.prepare_data.prepare_data_cache import main as cache_main
 
-    os.makedirs(root)
+    # resumable: skip rebuilding if the ray cache already exists;
+    # reconstruct the metadata run_one needs from the on-disk config
+    if os.path.exists(
+        os.path.join(root, "cache_sgs", "splits", "rays1_meta_info.json")
+    ):
+        import yaml
+
+        with open(os.path.join(root, "config.yaml")) as fh:
+            scene_config = yaml.safe_load(fh)
+        return {"scene_config": scene_config, "sphere_radius": 1.0}
+    os.makedirs(root, exist_ok=True)
     info = make_synthetic_scene(
         root, n_images=26, n_test=2, img_wh=(64, 48), n_points=600, **kw
     )
@@ -73,6 +83,13 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500):
 
 
 def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
+    # resumable: a finished run leaves result.json behind
+    res_path = os.path.join(save_dir, tag, "result.json")
+    if os.path.exists(res_path):
+        out = json.load(open(res_path))
+        print(json.dumps(out), flush=True)
+        return out
+
     from neuralrecon_w_tpu.tools.train_cli import main as train_main
     from neuralrecon_w_tpu.tools.extract_mesh_cli import main as extract_main
     from neuralrecon_w_tpu.evaluation import eval_mesh
@@ -102,6 +119,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
         out = {"run": tag, "psnr": round(psnr, 2), "f05": 0.0, "f10": 0.0,
                "f20": 0.0, "dist_pred2gt": float("inf"),
                "dist_gt2pred": float("inf"), "degenerate": True}
+        json.dump(out, open(res_path, "w"))
         print(json.dumps(out), flush=True)
         return out
 
@@ -128,6 +146,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
         "dist_pred2gt": round(float(np.mean(d_pred2gt)), 4),
         "dist_gt2pred": round(float(np.mean(d_gt2pred)), 4),
     }
+    json.dump(out, open(res_path, "w"))
     print(json.dumps(out), flush=True)
     return out
 

@@ -429,3 +429,79 @@ def test_val_interval_lightning_semantics():
     assert val_interval(500.0, 36) == 500
     assert val_interval(0.125, 800) == 100
     assert val_interval(0.125, 4) == 1
+
+
+def _fine_grid_and_level():
+    pts = np.random.RandomState(3).randn(3000, 3)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)  # unit-sphere shell
+    grid = grid_from_points(pts, [-2, -2, -2], [2, 2, 2], voxel_size=0.25,
+                            expand=1)
+    from neuralrecon_w_tpu.ops.ray_voxel import make_device_grid
+
+    return grid, make_device_grid(grid)
+
+
+def test_surface_band_cache_matches_query():
+    """step with batch surf_t/surf_hit == step with the exact per-step
+    DDA query: the band cache is the same function of (ray, grid),
+    hoisted out of the step and amortized over the refresh interval."""
+    from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
+
+    cfg = tiny_cfg()
+    cfg.TPU.SURFACE_QUERY = "dda"  # exact in-step query as the oracle
+    fc = field_config_from_cfg(cfg)
+    lcfg = loss_config_from_cfg(cfg)
+    opt, _ = make_optimizer(cfg, 2048)
+    grid, dgrid = _fine_grid_and_level()
+    rcfg = render_config_from_cfg(cfg, fine_level=grid.level)
+    step = make_train_step(fc, rcfg, lcfg, opt, anneal_end=10)
+    state = init_state(jax.random.PRNGKey(0), fc, opt)
+    batch = make_batch(16)
+
+    _, aux_q = step(state, scene(), batch, jax.random.PRNGKey(2), dgrid, None)
+
+    surf, _, hit = grid_near_far(
+        dgrid, grid.level, batch["rays"][:, 0:3], batch["rays"][:, 3:6],
+        first_only=True)
+    assert bool(jnp.any(hit))
+    cbatch = dict(batch, surf_t=surf, surf_hit=hit)
+    _, aux_c = step(state, scene(), cbatch, jax.random.PRNGKey(2), dgrid, None)
+    np.testing.assert_allclose(
+        float(aux_q["loss"]), float(aux_c["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(aux_q["psnr"]), float(aux_c["psnr"]), rtol=1e-6)
+
+
+def test_device_pool_attach_surface():
+    """attach_surface rows match the direct query for every gathered
+    batch, sharded and unsharded; detach_surface removes them."""
+    from neuralrecon_w_tpu.datasets.cache import DeviceRayPool, RayPool
+    from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
+
+    grid, dgrid = _fine_grid_and_level()
+    rs = np.random.RandomState(0)
+    n = 1024
+    o = rs.randn(n, 3).astype(np.float32) * 0.1 + np.array([0, 0, 2.2], np.float32)
+    d = -o + rs.randn(n, 3).astype(np.float32) * 0.05
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rows = np.concatenate([
+        o, d, np.full((n, 1), 0.5, np.float32), np.full((n, 1), 4.0, np.float32),
+        rs.randint(0, 8, (n, 1)).astype(np.float32),
+        rs.randint(0, 4, (n, 1)).astype(np.float32),
+        np.full((n, 1), 2.0, np.float32), rs.rand(n, 1).astype(np.float32),
+    ], axis=1)
+    pool = RayPool(rows, rs.rand(n, 3).astype(np.float32))
+    for m in [None, make_mesh()]:
+        dp = DeviceRayPool(pool, m)
+        dp.attach_surface(dgrid, grid.level, chunk=256)
+        b = dp.next_batch(jax.random.PRNGKey(0), 64)
+        assert "surf_t" in b and "surf_hit" in b
+        surf, _, hit = grid_near_far(
+            dgrid, grid.level, b["rays"][:, 0:3], b["rays"][:, 3:6],
+            first_only=True)
+        np.testing.assert_allclose(np.asarray(b["surf_t"]), np.asarray(surf),
+                                   atol=1e-6)
+        assert bool(jnp.all(b["surf_hit"] == hit))
+        assert bool(jnp.any(b["surf_hit"]))
+        dp.detach_surface()
+        assert "surf_t" not in dp.data
