@@ -54,6 +54,7 @@ def capture(trace_dir: str, n_steps: int):
         extra = (fine_grid, None)
     else:
         rcfg = render_config_from_cfg(cfg)
+    surf_mode = os.environ.get("NW_BENCH_SURF", "cache")
     lcfg = loss_config_from_cfg(cfg)
     opt, _ = make_optimizer(cfg, BATCH)
     step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
@@ -62,6 +63,15 @@ def capture(trace_dir: str, n_steps: int):
     scene = _scene_info()
     batch = _make_batch(BATCH, fc.n_vocab)
     rng = jax.random.PRNGKey(1)
+
+    if phase == "steady" and surf_mode == "cache":
+        # production path: precomputed surface band (bench.py contract)
+        from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
+
+        surf, _, hit = grid_near_far(
+            extra[0], rcfg.fine_level, batch["rays"][:, 0:3],
+            batch["rays"][:, 3:6], first_only=True)
+        batch = dict(batch, surf_t=surf, surf_hit=hit)
 
     for _ in range(3):
         state, aux = step(state, scene, batch, rng, *extra)
