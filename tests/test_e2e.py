@@ -54,6 +54,7 @@ def cfg_path(scene, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_01_prepare_split(scene):
     root, info = scene
     from neuralrecon_w_tpu.tools.prepare_data.prepare_data_split import main
@@ -64,6 +65,7 @@ def test_01_prepare_split(scene):
     assert len(lines) >= 5  # header + images
 
 
+@pytest.mark.slow
 def test_02_prepare_cache(scene):
     root, _ = scene
     from neuralrecon_w_tpu.tools.prepare_data.prepare_data_cache import main
@@ -73,6 +75,7 @@ def test_02_prepare_cache(scene):
     assert os.path.exists(os.path.join(split_root, "rays1_meta_info.json"))
 
 
+@pytest.mark.slow
 def test_03_train(scene, cfg_path, tmp_path_factory):
     root, _ = scene
     from neuralrecon_w_tpu.tools.train_cli import main
@@ -98,6 +101,7 @@ def test_03_train(scene, cfg_path, tmp_path_factory):
     test_03_train.save_dir = save_dir
 
 
+@pytest.mark.slow
 def test_04_extract_and_eval(scene, cfg_path, tmp_path_factory):
     root, info = scene
     from neuralrecon_w_tpu.tools.extract_mesh_cli import main as extract_main
@@ -135,6 +139,7 @@ def test_04_extract_and_eval(scene, cfg_path, tmp_path_factory):
     assert res["fscores"][0] > 0.08, res
 
 
+@pytest.mark.slow
 def test_05_resume(scene, cfg_path):
     """Checkpoint resume continues from the saved step."""
     from neuralrecon_w_tpu.tools.train_cli import main

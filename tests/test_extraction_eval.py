@@ -59,6 +59,7 @@ def sphere_samples(n=2000, r=0.5 * SCENE_RADIUS, seed=1):
     return SCENE_ORIGIN + v * r
 
 
+@pytest.mark.slow
 def test_dense_extraction_lies_on_zero_set():
     """Extracted vertices must sit on the field's zero level set — the
     invariant that tests sweep->scatter->marching->rescale end to end

@@ -143,6 +143,7 @@ def test_color_backward_matches_jax_grad():
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_full_field_vjp_matches_jax_grad():
     """The combined (color + SDF + second-order) hand VJP against
     jax.grad with cotangents on all three outputs."""

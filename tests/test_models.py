@@ -77,6 +77,7 @@ def test_weight_norm_identity_at_init():
     assert np.abs(np.asarray(g["v"])).sum() > 0
 
 
+@pytest.mark.slow
 def test_geometric_init_sphere():
     """With geometric init, sdf(x) ~ |x| - bias at initialization (exercised
     at the production 8x512 architecture)."""
@@ -118,6 +119,7 @@ def test_sdf_grad_matches_autodiff_and_fd():
     assert np.abs(gn - 1.0).mean() < 0.3
 
 
+@pytest.mark.slow
 def test_sdf_grad_is_differentiable():
     """Eikonal-style double backprop through the fused vjp."""
     params = init_sdf(jax.random.PRNGKey(2), SDF_CFG)
@@ -132,6 +134,7 @@ def test_sdf_grad_is_differentiable():
     assert np.isfinite(total) and total > 0
 
 
+@pytest.mark.slow
 def test_field_forward_shapes_and_ranges():
     fc = small_field_config()
     params = init_field(jax.random.PRNGKey(0), fc)
@@ -167,6 +170,7 @@ def test_field_sdf_batched_shapes():
     assert out.shape == (4, 5)
 
 
+@pytest.mark.slow
 def test_field_forward_per_ray_inputs_match_broadcast():
     """dirs / appearance are constant along a ray; the n_samples path
     computes their head contributions at ray granularity

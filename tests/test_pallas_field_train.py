@@ -71,6 +71,7 @@ def _ref_field(sdf_w, sdf_b, col_w, col_b, pts, dirs, a):
     return cres["rgb"], sdf, sres["grad"]
 
 
+@pytest.mark.slow
 def test_field_train_primal_and_grads(setup):
     dims, sdf_w, sdf_b, col_w, col_b, meta, pts, dirs, a, cots = setup
     c_rgb, c_sdf, c_grad = cots
@@ -129,6 +130,7 @@ def test_field_train_single_group(setup):
     assert float(jnp.linalg.norm(fp - fr) / jnp.linalg.norm(fr)) < 1e-5
 
 
+@pytest.mark.slow
 def test_field_train_through_params(setup):
     """field_forward(grad_mode='pallas_field') primal parity against the
     default XLA path, through real weight-normed params."""

@@ -36,6 +36,7 @@ def test_primals_match(setup):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_gradients_match(setup):
     params, x, (c_sdf, c_feat, c_grad) = setup
 
@@ -63,6 +64,7 @@ def test_full_gradients_match(setup):
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_padding_batch_sizes(setup):
     """Non-tile-multiple point counts pad correctly and the dW
     accumulation over multiple grid steps stays exact."""
@@ -92,6 +94,7 @@ def test_padding_batch_sizes(setup):
     )
 
 
+@pytest.mark.slow
 def test_split_dw_deep_net():
     """The backward emits dW across two pallas_call's (VMEM cannot hold
     all accumulators at once); verify the layer-split path end-to-end on

@@ -28,6 +28,7 @@ def _inputs(n=37, seed=1):
     return pts4, dirs, a, c_den, c_rgb
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("encode_a", [True, False])
 def test_bg_kernel_primal_and_grads(encode_a):
     params = init_nerf_bg(jax.random.PRNGKey(0), encode_a, N_A)

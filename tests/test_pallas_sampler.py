@@ -14,7 +14,7 @@ from neuralrecon_w_tpu.rendering.sampling import cat_z_vals, up_sample
 
 @pytest.mark.parametrize("layout", ["rows", "lanes"])
 @pytest.mark.parametrize("d_hidden,d_out,n_layers,skip", [
-    (256, 257, 8, (4,)),
+    pytest.param(256, 257, 8, (4,), marks=pytest.mark.slow),
     (64, 65, 4, (2,)),
 ])
 def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip, layout):

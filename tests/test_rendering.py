@@ -127,6 +127,7 @@ def make_rays(r=16, cols=10, seed=0):
     return jnp.asarray(rays), jnp.asarray(ts), jnp.asarray(labels)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("with_fine", [False, True])
 def test_render_rays_shapes_and_sanity(with_fine):
     params, fc, rcfg, scene, grid = small_setup(with_fine_grid=with_fine)
@@ -205,6 +206,7 @@ def test_render_deterministic_when_perturb_zero():
     np.testing.assert_allclose(np.asarray(o1["color"]), np.asarray(o2["color"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_grad_flows():
     params, fc, rcfg, scene, _ = small_setup()
     rays, ts, labels = make_rays(r=8)
@@ -226,6 +228,7 @@ def test_render_grad_flows():
     assert np.abs(ga[5:]).sum() == 0
 
 
+@pytest.mark.slow
 def test_ray_mask_zeroes_eikonal_contribution():
     params, fc, rcfg, scene, _ = small_setup()
     rays, ts, labels = make_rays(r=8)
@@ -244,6 +247,7 @@ def test_ray_mask_zeroes_eikonal_contribution():
     assert abs(float(full["gradient_error"]) - float(half["gradient_error"])) > 0 or True
 
 
+@pytest.mark.slow
 def test_remat_field_preserves_gradients():
     """remat_field recomputes instead of storing — results and grads
     must be bit-comparable to the stored path."""

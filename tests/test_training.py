@@ -117,6 +117,7 @@ def test_ray_mask_from_labels():
     np.testing.assert_array_equal(np.asarray(m), [1, 0, 1, 0])
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_descends():
     cfg = tiny_cfg()
     fc = field_config_from_cfg(cfg)
@@ -200,6 +201,7 @@ def _run_tp_equals_dp(cfg, batch_size=16):
     return specs
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_data_parallel():
     """TP==DP on the tiny config with its NATURAL shard-hostile dims
     (d_out 65): the odd output dim must engage the row-sharding fallback
@@ -243,6 +245,7 @@ def test_tensor_parallel_flagship_widths():
     assert emb and all(s == P(MODEL_AXIS) for s in emb), emb
 
 
+@pytest.mark.slow
 def test_train_step_with_grids():
     """Fine + SFM grids attach as dynamic operands (no retrace crash)."""
     cfg = tiny_cfg()
@@ -399,6 +402,7 @@ def test_local_split_names_partition(tmp_path):
         local_split_names(str(tmp_path), n_splits + 1, 0)
 
 
+@pytest.mark.slow
 def test_bf16_activations_descend():
     """FIELD_DTYPE=bfloat16 halves activation traffic; training must
     still descend and the outputs stay f32."""
@@ -441,6 +445,7 @@ def _fine_grid_and_level():
     return grid, make_device_grid(grid)
 
 
+@pytest.mark.slow
 def test_surface_band_cache_matches_query():
     """step with batch surf_t/surf_hit == step with the exact per-step
     DDA query: the band cache is the same function of (ray, grid),
