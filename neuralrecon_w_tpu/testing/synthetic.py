@@ -340,6 +340,16 @@ def make_synthetic_scene(
     with open(os.path.join(root_dir, "config.yaml"), "w") as fh:
         yaml.safe_dump(scene_config, fh)
 
+    # persist the injected corruption ground truth so post-hoc probes
+    # (scripts/exp_embedding_probe.py) can run from the workspace alone
+    if appearance_jitter > 0 or transient_occluders:
+        import json
+
+        with open(os.path.join(root_dir, "wild_info.json"), "w") as fh:
+            json.dump({"appearance": appearance_log,
+                       "occluders": occluder_log,
+                       "jitter": appearance_jitter, "seed": seed}, fh)
+
     return {
         "scene_config": scene_config,
         "sphere_radius": sphere_radius,

@@ -49,7 +49,8 @@ def build_scene(root, **kw):
     return info
 
 
-def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500):
+def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
+              dtype=None):
     import yaml
 
     # the proven synthetic-convergence recipe (exp_synth_convergence.py:
@@ -77,6 +78,8 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500):
         "TRAINER": {"SAVE_FREQ": 100000, "VAL_FREQ": 1e9,
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
     }
+    if dtype:
+        cfg["TPU"] = {"FIELD_DTYPE": dtype}
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
@@ -156,6 +159,11 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--out_dir", type=str, default=None)
     ap.add_argument("--jitter", type=float, default=0.35)
+    ap.add_argument("--dtype", type=str, default=None,
+                    help="TPU.FIELD_DTYPE override (e.g. bfloat16); the "
+                         "default config trains f32 — the bf16-vs-f32 "
+                         "quality comparison in BENCHMARKS.md runs this "
+                         "script once per dtype")
     args = ap.parse_args()
 
     base = args.out_dir or tempfile.mkdtemp(prefix="wild_ablation_")
