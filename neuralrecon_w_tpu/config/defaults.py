@@ -154,8 +154,10 @@ _CN.TPU.DEVICE_POOL = "auto"
 # steps fused per dispatch via lax.scan when the device pool is active
 # (single data shard); amortizes host dispatch latency
 _CN.TPU.SCAN_INNER = 50
-# True | False — rematerialize field activations in backward. Costs
-# ~15% step time at batch 8192; enable to fit larger ray batches.
+# False | True | a jax.checkpoint_policies name (str). True saves
+# nothing (costs ~15% step time at batch 8192; fits larger ray
+# batches); a policy name like 'dots_saveable' keeps MXU outputs and
+# recomputes only the elementwise chain in backward.
 _CN.TPU.REMAT_FIELD = False
 # per-sample SDF gradient mode: 'vjp' (fused reverse) | 'fwd'
 # (linearize + 3 tangents; reverse-over-forward backward)

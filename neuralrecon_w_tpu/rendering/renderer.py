@@ -55,10 +55,13 @@ class RenderConfig(NamedTuple):
     # route the sampler's gradient-free SDF evals through the fused
     # Pallas VMEM-resident MLP kernel (ops/pallas_mlp.py); TPU only
     fused_sampler_sdf: bool = False
-    # rematerialize the field evaluation in the backward pass (trades
-    # ~1/3 more FLOPs for activation memory — unlocks ray batches past
-    # the HBM ceiling)
-    remat_field: bool = False
+    # rematerialize the field evaluation in the backward pass. False |
+    # True (save nothing: trades ~1/3 more FLOPs for activation memory,
+    # unlocks ray batches past the HBM ceiling) | a
+    # jax.checkpoint_policies name such as 'dots_saveable' (save MXU
+    # outputs only, recompute the elementwise chain in backward —
+    # narrower stored residuals at near-zero FLOP cost)
+    remat_field: object = False
     # ray-tile of the fused importance sampler kernel (-1 = default 64;
     # 128 needs a raised device scoped-VMEM limit at width 512)
     sampler_tile: int = -1
@@ -78,6 +81,15 @@ class SceneInfo(NamedTuple):
     origin: jnp.ndarray  # (3,)
     radius: jnp.ndarray  # ()
     sfm2gt: jnp.ndarray  # (4, 4)
+
+
+def _check_remat(name):
+    if not hasattr(jax.checkpoint_policies, name):
+        raise ValueError(
+            f"TPU.REMAT_FIELD={name!r} is not a jax.checkpoint_policies "
+            "name (e.g. 'dots_saveable', 'nothing_saveable')"
+        )
+    return name
 
 
 def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=None, perturb=None):
@@ -116,7 +128,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
             n.NEAR_FAR_OVERRIDE if nerf_far_override is None else nerf_far_override
         ),
         fused_sampler_sdf=bool(fused),
-        remat_field=bool(remat),
+        remat_field=_check_remat(remat) if isinstance(remat, str) else bool(remat),
         sampler_tile=int(getattr(cfg.TPU, "SAMPLER_TILE", -1)),
         sampler_layout=str(getattr(cfg.TPU, "SAMPLER_LAYOUT", "lanes")),
         surface_query=str(getattr(cfg.TPU, "SURFACE_QUERY", "sampled")),
@@ -353,7 +365,11 @@ def render_core(
 
     fwd = field_forward
     if rcfg.remat_field:
-        fwd = jax.checkpoint(field_forward, static_argnums=(1, 5))
+        policy = None
+        if isinstance(rcfg.remat_field, str):
+            policy = getattr(jax.checkpoint_policies, rcfg.remat_field)
+        fwd = jax.checkpoint(field_forward, static_argnums=(1, 5),
+                             policy=policy)
     # dirs / appearance are constant along a ray: pass them per-ray so
     # the color head computes their GEMM contribution at R rows instead
     # of R*S (models/color.py n_samples path)

@@ -85,7 +85,8 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
     return path
 
 
-def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
+def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048,
+            test_batch=512):
     # resumable: a finished run leaves result.json behind
     res_path = os.path.join(save_dir, tag, "result.json")
     if os.path.exists(res_path):
@@ -101,7 +102,7 @@ def run_one(tag, cfg_path, scene_info, steps, save_dir, batch=2048):
 
     trainer = train_main([
         "--cfg_path", cfg_path, "--batch_size", str(batch),
-        "--test_batch_size", "512", "--num_epochs", "1000",
+        "--test_batch_size", str(test_batch), "--num_epochs", "1000",
         "--max_steps", str(steps), "--exp_name", tag, "--save_dir", save_dir,
     ])
 
@@ -164,6 +165,12 @@ def main():
                          "default config trains f32 — the bf16-vs-f32 "
                          "quality comparison in BENCHMARKS.md runs this "
                          "script once per dtype")
+    ap.add_argument("--batch", type=int, default=2048,
+                    help="ray batch (LR follows the linear-scaling rule "
+                         "via TRAINER.CANONICAL_BS); 8192 validates the "
+                         "headline bench's operating point")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list of run tags to execute (default all)")
     args = ap.parse_args()
 
     base = args.out_dir or tempfile.mkdtemp(prefix="wild_ablation_")
@@ -171,37 +178,62 @@ def main():
     print(f"workdir: {base}", file=sys.stderr)
 
     results = {}
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(tag):
+        return only is None or tag in only
 
     # clean reference scene
     clean_root = os.path.join(base, "scene_clean")
-    info_c = build_scene(clean_root, seed=0)
-    cfg_c = write_cfg(os.path.join(base, "cfg_clean.yaml"), clean_root)
-    results["clean"] = run_one("clean", cfg_c, info_c, args.steps, base)
+    if want("clean"):
+        info_c = build_scene(clean_root, seed=0)
+        cfg_c = write_cfg(os.path.join(base, "cfg_clean.yaml"), clean_root,
+                          dtype=args.dtype)
+        results["clean"] = run_one("clean", cfg_c, info_c, args.steps, base,
+                                   batch=args.batch)
 
     # appearance: jittered scene, embedding on vs off
     jit_root = os.path.join(base, "scene_jitter")
-    info_j = build_scene(jit_root, seed=0, appearance_jitter=args.jitter)
-    cfg_a1 = write_cfg(os.path.join(base, "cfg_a1.yaml"), jit_root, encode_a=True)
-    cfg_a0 = write_cfg(os.path.join(base, "cfg_a0.yaml"), jit_root, encode_a=False)
-    results["jitter_encode_a"] = run_one("jitter_encode_a", cfg_a1, info_j, args.steps, base)
-    results["jitter_no_a"] = run_one("jitter_no_a", cfg_a0, info_j, args.steps, base)
+    if want("jitter_encode_a") or want("jitter_no_a"):
+        info_j = build_scene(jit_root, seed=0, appearance_jitter=args.jitter)
+        cfg_a1 = write_cfg(os.path.join(base, "cfg_a1.yaml"), jit_root,
+                           encode_a=True, dtype=args.dtype)
+        cfg_a0 = write_cfg(os.path.join(base, "cfg_a0.yaml"), jit_root,
+                           encode_a=False, dtype=args.dtype)
+        if want("jitter_encode_a"):
+            results["jitter_encode_a"] = run_one(
+                "jitter_encode_a", cfg_a1, info_j, args.steps, base,
+                batch=args.batch)
+        if want("jitter_no_a"):
+            results["jitter_no_a"] = run_one(
+                "jitter_no_a", cfg_a0, info_j, args.steps, base,
+                batch=args.batch)
 
     # transients: occluded scene, ray mask on vs off
     occ_root = os.path.join(base, "scene_occluded")
-    info_o = build_scene(occ_root, seed=0, transient_occluders=True)
-    cfg_t1 = write_cfg(os.path.join(base, "cfg_t1.yaml"), occ_root,
-                       ray_mask=["person"])
-    cfg_t0 = write_cfg(os.path.join(base, "cfg_t0.yaml"), occ_root)
-    results["occluded_masked"] = run_one("occluded_masked", cfg_t1, info_o, args.steps, base)
-    results["occluded_unmasked"] = run_one("occluded_unmasked", cfg_t0, info_o, args.steps, base)
+    if want("occluded_masked") or want("occluded_unmasked"):
+        info_o = build_scene(occ_root, seed=0, transient_occluders=True)
+        cfg_t1 = write_cfg(os.path.join(base, "cfg_t1.yaml"), occ_root,
+                           ray_mask=["person"], dtype=args.dtype)
+        cfg_t0 = write_cfg(os.path.join(base, "cfg_t0.yaml"), occ_root,
+                           dtype=args.dtype)
+        if want("occluded_masked"):
+            results["occluded_masked"] = run_one(
+                "occluded_masked", cfg_t1, info_o, args.steps, base,
+                batch=args.batch)
+        if want("occluded_unmasked"):
+            results["occluded_unmasked"] = run_one(
+                "occluded_unmasked", cfg_t0, info_o, args.steps, base,
+                batch=args.batch)
 
     print("\n== summary ==")
     hdr = ["run", "psnr", "f05", "f10", "f20", "dist_pred2gt", "dist_gt2pred"]
     print("\t".join(hdr))
     for k in ("clean", "jitter_encode_a", "jitter_no_a",
               "occluded_masked", "occluded_unmasked"):
-        r = results[k]
-        print("\t".join(str(r[h]) for h in hdr))
+        if k in results:
+            r = results[k]
+            print("\t".join(str(r[h]) for h in hdr))
     with open(os.path.join(base, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)
 
