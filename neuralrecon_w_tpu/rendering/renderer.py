@@ -318,8 +318,8 @@ def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a
 
     # dirs / appearance are per-ray constants (models/nerf_bg.py
     # n_samples path computes their head contribution at R rows)
-    density, color = field_background(params, fc, pts4, rays_d, a_embedded,
-                                      n_samples=n)
+    bg = _maybe_remat(field_background, rcfg.remat_field)
+    density, color = bg(params, fc, pts4, rays_d, a_embedded, n)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch, n)) * dists)
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones((batch, 1)), 1.0 - alpha + 1e-7], axis=-1), axis=-1
@@ -333,6 +333,21 @@ def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a
         "alpha": alpha,
         "weights": weights,
     }
+
+
+def _maybe_remat(field_fn, remat):
+    """Wrap a field evaluation (field_forward / field_background — both
+    take (params, fc, pts, dirs, a_embedded, n_samples)) in
+    jax.checkpoint per RenderConfig.remat_field: False = store
+    everything, True = store nothing, str = a jax.checkpoint_policies
+    name (e.g. 'dots_saveable': keep MXU outputs, recompute the
+    elementwise chain)."""
+    if not remat:
+        return field_fn
+    policy = None
+    if isinstance(remat, str):
+        policy = getattr(jax.checkpoint_policies, remat)
+    return jax.checkpoint(field_fn, static_argnums=(1, 5), policy=policy)
 
 
 def _render_depth(alphas, z_vals):
@@ -363,13 +378,7 @@ def render_core(
     pts_flat = pts.reshape(-1, 3)
     dirs_flat = dirs.reshape(-1, 3)
 
-    fwd = field_forward
-    if rcfg.remat_field:
-        policy = None
-        if isinstance(rcfg.remat_field, str):
-            policy = getattr(jax.checkpoint_policies, rcfg.remat_field)
-        fwd = jax.checkpoint(field_forward, static_argnums=(1, 5),
-                             policy=policy)
+    fwd = _maybe_remat(field_forward, rcfg.remat_field)
     # dirs / appearance are constant along a ray: pass them per-ray so
     # the color head computes their GEMM contribution at R rows instead
     # of R*S (models/color.py n_samples path)
