@@ -318,7 +318,7 @@ def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a
 
     # dirs / appearance are per-ray constants (models/nerf_bg.py
     # n_samples path computes their head contribution at R rows)
-    bg = _maybe_remat(field_background, rcfg.remat_field)
+    bg = _maybe_remat(field_background, getattr(rcfg, "remat_field", False))
     density, color = bg(params, fc, pts4, rays_d, a_embedded, n)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch, n)) * dists)
     trans = jnp.cumprod(
