@@ -247,6 +247,23 @@ def test_ray_mask_zeroes_eikonal_contribution():
     assert abs(float(full["gradient_error"]) - float(half["gradient_error"])) > 0 or True
 
 
+def test_remat_policy_config_validation():
+    """TPU.REMAT_FIELD accepts bools and jax.checkpoint_policies names;
+    unknown names fail at config parse, not at trace time."""
+    from neuralrecon_w_tpu.rendering import render_config_from_cfg
+
+    cfg = get_cfg_defaults()
+    cfg.TPU.REMAT_FIELD = "dots_saveable"
+    assert render_config_from_cfg(cfg).remat_field == "dots_saveable"
+    cfg.TPU.REMAT_FIELD = True
+    assert render_config_from_cfg(cfg).remat_field is True
+    cfg.TPU.REMAT_FIELD = False
+    assert render_config_from_cfg(cfg).remat_field is False
+    cfg.TPU.REMAT_FIELD = "not_a_policy"
+    with pytest.raises(ValueError, match="not_a_policy"):
+        render_config_from_cfg(cfg)
+
+
 @pytest.mark.slow
 def test_remat_field_preserves_gradients():
     """remat_field recomputes instead of storing — results and grads
