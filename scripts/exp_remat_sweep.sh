@@ -1,0 +1,23 @@
+#!/bin/bash
+# Remat-policy sweep on the chip: both bench phases per config, serial
+# (the pool is single-claim — never run two chip jobs concurrently).
+# Usage: bash scripts/exp_remat_sweep.sh [outfile]
+set -u
+OUT=${1:-/tmp/remat_sweep.jsonl}
+cd "$(dirname "$0")/.."
+export PYTHONPATH=$PWD:${PYTHONPATH:-}
+
+run() {
+  local tag=$1; shift
+  echo "== $tag $(date -u +%H:%M:%S)" >&2
+  local line
+  line=$(env "$@" timeout 1800 python bench.py 2>/tmp/remat_sweep_err.log | tail -1)
+  echo "{\"tag\": \"$tag\", \"bench\": $line}" >> "$OUT"
+  echo "$line" >&2
+}
+
+run baseline             NW_BENCH_PHASE=both
+run dots_saveable        NW_BENCH_PHASE=both NW_BENCH_CFG="TPU.REMAT_FIELD=dots_saveable"
+run remat_true           NW_BENCH_PHASE=both NW_BENCH_CFG="TPU.REMAT_FIELD=true"
+run dots_saveable_16384  NW_BENCH_PHASE=both NW_BENCH_BATCH=16384 NW_BENCH_CFG="TPU.REMAT_FIELD=dots_saveable"
+echo "DONE" >&2
