@@ -13,6 +13,8 @@ input axis per output unit — equivalent to torch's
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,7 +106,26 @@ def apply_linear_parts(p, parts):
 # ------------------------------ misc ------------------------------
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
 def softplus_beta(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
     """Numerically-stable softplus with sharpness beta (SDF activation,
-    reference models/neuconw.py:261)."""
+    reference models/neuconw.py:261).
+
+    The derivative is declared in terms of the OUTPUT:
+    sigma(beta*x) = 1 - exp(-beta*y) = -expm1(-beta*y). The post-
+    activation y is a stored residual anyway (it is the next layer's
+    GEMM input and the dW contraction operand), so autodiff never needs
+    to keep the pre-activation alive for the backward — one less
+    (N, width) residual per layer in the HBM-bound training step.
+    -expm1 keeps full accuracy where 1-exp cancels (beta*y -> 0);
+    identical values, derivative exact in infinite precision and within
+    one ulp of sigmoid(beta*x) in f32.
+    """
     return jnp.logaddexp(x * beta, 0.0) / beta
+
+
+@softplus_beta.defjvp
+def _softplus_beta_jvp(beta, primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = jnp.logaddexp(x * beta, 0.0) / beta
+    return y, t * (-jnp.expm1(-beta * y))
