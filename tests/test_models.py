@@ -64,6 +64,26 @@ def test_softplus_beta():
     assert out[0] >= 0
 
 
+def test_softplus_beta_output_referenced_derivative():
+    """The custom JVP (-expm1(-beta*y), an output-only residual) must
+    match sigmoid(beta*x) through second order."""
+    x = jnp.asarray(np.linspace(-0.3, 0.3, 4001), jnp.float32)
+
+    def plain(v):
+        return jnp.logaddexp(v * 100.0, 0.0) / 100.0
+
+    d1 = jax.vmap(jax.grad(lambda v: softplus_beta(v, 100.0)))(x)
+    d1p = jax.vmap(jax.grad(plain))(x)
+    np.testing.assert_allclose(d1, d1p, atol=2e-6)
+    d2 = jax.vmap(jax.grad(jax.grad(lambda v: softplus_beta(v, 100.0))))(x)
+    d2p = jax.vmap(jax.grad(jax.grad(plain)))(x)
+    np.testing.assert_allclose(d2, d2p, atol=2e-4)
+    # saturated tail: the output-referenced form must not blow up
+    xt = jnp.asarray([-50.0, 50.0], jnp.float32)
+    dt = jax.vmap(jax.grad(lambda v: softplus_beta(v, 100.0)))(xt)
+    np.testing.assert_allclose(dt, [0.0, 1.0], atol=1e-7)
+
+
 def test_weight_norm_identity_at_init():
     p = init_wn_linear(jax.random.PRNGKey(0), 8, 16)
     w_eff = wn_weight(p)
