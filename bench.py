@@ -48,6 +48,43 @@ POOL_ROWS = int(os.environ.get("NW_BENCH_POOL_ROWS", 2_097_152))
 UPDATE_FREQ = int(os.environ.get("NW_BENCH_UPDATE_FREQ", 5000))
 
 
+def wait_for_device(max_wait_s: int | None = None):
+    """Gate on a healthy default device before claiming it for real.
+
+    The tunneled TPU pool occasionally wedges (device grant hangs or
+    the backend reports UNAVAILABLE) and recovers by itself; a bench
+    that starts during such a window would hang in backend init or die
+    on the first op. Probe with a tiny matmul in a SUBPROCESS (backend
+    init is once-per-process and every process claims the pool chip,
+    so the probe must not be this process) under a timeout, and retry
+    until the deadline. Proceed regardless at the deadline — the real
+    failure mode then reports itself.
+    """
+    import subprocess
+    import sys
+
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("NW_BENCH_WAIT_S", "1800"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((8, 8)); print('OK', float((x @ x).sum()))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "OK" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"# device probe still failing after {attempt} attempts; "
+                  "proceeding anyway", flush=True)
+            return
+        time.sleep(60)
+
+
 def make_fine_grid(level: int):
     """Synthetic online surface grid: the voxel shell of the unit sphere
     (the scene surface in _make_batch's geometry), built through the
@@ -186,4 +223,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_device()
     main()
