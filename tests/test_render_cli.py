@@ -1,0 +1,132 @@
+"""render_cli: novel-view synthesis + NeRF-W appearance control from a
+checkpoint (the user-facing render tool the reference lacks; appearance
+machinery per reference lightning_modules/neuconw_system.py:74-78)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def render_setup(tmp_path_factory):
+    """Synthetic scene + untrained-but-valid checkpoint + tiny cfg."""
+    import jax
+
+    from neuralrecon_w_tpu.config import get_cfg_defaults
+    from neuralrecon_w_tpu.models.neuconw import (
+        field_config_from_cfg, init_field,
+    )
+    from neuralrecon_w_tpu.testing import make_synthetic_scene
+    from neuralrecon_w_tpu.training.checkpoint import save_checkpoint
+
+    base = tmp_path_factory.mktemp("render_cli")
+    root = str(base / "sphere_scene")
+    os.makedirs(root)
+    make_synthetic_scene(root, n_images=6, n_test=1, img_wh=(40, 30))
+
+    cfg_dict = {
+        "NEUCONW": {
+            "N_SAMPLES": 8, "N_IMPORTANCE": 8, "UP_SAMPLE_STEP": 2,
+            "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
+            "SAMPLE_RANGE": 4, "N_VOCAB": 16, "NEAR_FAR_OVERRIDE": True,
+            "SDF_CONFIG": {"d_hidden": 32, "d_out": 33, "n_layers": 2,
+                           "skip_in": ()},
+            "COLOR_CONFIG": {"d_feature": 32, "d_hidden": 16, "n_layers": 2,
+                             "head_channels": 8},
+        },
+        "DATASET": {"ROOT_DIR": root, "DATASET_NAME": "phototourism",
+                    "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
+    }
+    cfg_path = str(base / "train_sphere.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg_dict, f)
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(cfg_path)
+    fc = field_config_from_cfg(cfg)
+    params = jax.device_get(init_field(jax.random.PRNGKey(0), fc))
+    ckpt_path = save_checkpoint(str(base / "ck"), 7, params)
+    return cfg_path, ckpt_path, str(base)
+
+
+def _frames(out_dir, prefix):
+    return sorted(p for p in os.listdir(out_dir)
+                  if p.startswith(prefix) and not p.endswith("_depth.png")
+                  and not p.endswith("_normal.png"))
+
+
+def test_render_view_outputs(render_setup):
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main
+
+    cfg_path, ckpt_path, base = render_setup
+    out = os.path.join(base, "views")
+    main(["--cfg_path", cfg_path, "--ckpt_path", ckpt_path,
+          "--out_dir", out, "--img_downscale", "2", "--chunk", "128"])
+    png = _frames(out, "view_")
+    assert len(png) == 1
+    img = np.asarray(Image.open(os.path.join(out, png[0])))
+    assert img.shape == (15, 20, 3)
+    for suffix in ("_depth.png", "_normal.png"):
+        assert os.path.exists(os.path.join(out, png[0][:-4] + suffix))
+
+
+def test_appearance_override_changes_colors(render_setup):
+    """Different --a_index embeddings must change rendered colors (the
+    appearance head consumes the per-image table)."""
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main
+
+    cfg_path, ckpt_path, base = render_setup
+    outs = []
+    for a in (1, 9):
+        out = os.path.join(base, f"a{a}")
+        main(["--cfg_path", cfg_path, "--ckpt_path", ckpt_path,
+              "--out_dir", out, "--img_downscale", "2", "--chunk", "128",
+              "--a_index", str(a)])
+        name = _frames(out, "view_")[0]
+        outs.append(np.asarray(Image.open(os.path.join(out, name)), np.float32))
+    assert np.abs(outs[0] - outs[1]).mean() > 0.1
+
+
+def test_appearance_interpolation_endpoints(render_setup):
+    """Frame 0 of an a-interp sweep equals rendering with the endpoint
+    embedding; intermediate frames differ from both endpoints."""
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main
+
+    cfg_path, ckpt_path, base = render_setup
+    out = os.path.join(base, "interp")
+    main(["--cfg_path", cfg_path, "--ckpt_path", ckpt_path,
+          "--out_dir", out, "--img_downscale", "2", "--chunk", "128",
+          "--a_interp", "1,3", "--frames", "3"])
+    frames = _frames(out, "interp_")
+    assert len(frames) == 3
+    arrs = [np.asarray(Image.open(os.path.join(out, f)), np.float32)
+            for f in frames]
+    assert np.abs(arrs[0] - arrs[2]).mean() > 1e-3  # endpoints differ
+    mid_vs_ends = min(np.abs(arrs[1] - arrs[0]).mean(),
+                      np.abs(arrs[1] - arrs[2]).mean())
+    assert mid_vs_ends > 1e-4
+
+
+def test_pose_interp_moves_camera(render_setup):
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main
+
+    cfg_path, ckpt_path, base = render_setup
+    out = os.path.join(base, "flythrough")
+    main(["--cfg_path", cfg_path, "--ckpt_path", ckpt_path,
+          "--out_dir", out, "--img_downscale", "2", "--chunk", "128",
+          "--a_interp", "1,3", "--frames", "2", "--pose_interp"])
+    frames = _frames(out, "interp_")
+    # camera moved between endpoint views -> depth images differ
+    d = [np.asarray(Image.open(os.path.join(out, f[:-4] + "_depth.png")),
+                    np.float32) for f in frames]
+    assert np.abs(d[0] - d[1]).mean() > 1e-3
