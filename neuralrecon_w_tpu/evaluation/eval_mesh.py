@@ -123,6 +123,10 @@ def eval_mesh(
         "fscores": fscores,
         "precs": precs,
         "recals": recals,
+        # threshold-free accuracy/completeness means (the reference
+        # records these per-threshold as dist1/dist2, eval_utils.py:87-100)
+        "chamfer_pred_to_gt": float(np.mean(dist2)) if len(dist2) else float("inf"),
+        "chamfer_gt_to_pred": float(np.mean(dist1)) if len(dist1) else float("inf"),
     }
     with open(os.path.join(save_dir, "metrics.json"), "w") as f:
         json.dump(all_metrics, f)

@@ -155,10 +155,19 @@ def main(argv=None):
         nerf_far_override=bool(cfg.NEUCONW.NEAR_FAR_OVERRIDE))
     render_chunk = make_render_fn(fc, rcfg)
 
+    # shard each chunk's rays over all visible chips (no-op on one)
+    from ..parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = make_mesh()
+    if args.chunk % int(mesh.shape.get(DATA_AXIS, 1)):
+        print(f"# chunk {args.chunk} not divisible by "
+              f"{mesh.shape[DATA_AXIS]} devices; rendering single-device")
+        mesh = None
+
     def render_view(pars, rays10, ts, wh, name):
         labels = np.zeros((len(rays10),), np.int32)
         out = render_image(render_chunk, pars, scene, rays10, ts, labels,
-                           wh, args.chunk, fine_dgrid, sfm_dgrid)
+                           wh, args.chunk, fine_dgrid, sfm_dgrid, mesh=mesh)
         _save_frame(args.out_dir, name, out)
         print(f"wrote {args.out_dir}/{name}.png ({wh[0]}x{wh[1]})")
 

@@ -386,6 +386,7 @@ class Trainer:
             val_id, chunk=self.tcfg.test_batch_size,
             fine_grid=self.fine_dgrid, sfm_grid=self.sfm_dgrid,
             out_dir=os.path.join(self.exp_dir, "val"), step=step,
+            mesh=self.mesh,
         )
         metrics.update(self._inline_mesh_eval(step))
         self.logger.log(step, metrics)

@@ -42,10 +42,16 @@ def render_image(
     fine_grid=None,
     sfm_grid=None,
     rng=None,
+    mesh=None,
 ):
     """Chunked full-image render. render_chunk is make_render_fn's jitted
     function; chunk matches --test_batch_size (reference
-    scripts/train.sh:19). Returns dict of (H, W, ...) images."""
+    scripts/train.sh:19). With a multi-device ``mesh``, each chunk's
+    rays are sharded over the data axis (params/scene/grids replicated)
+    and XLA's SPMD partitioner splits the per-ray pipeline — the
+    multi-chip replacement for the reference's single-GPU validation
+    render (reference neuconw_system.py:404-430). Returns dict of
+    (H, W, ...) images."""
     import jax
     import jax.numpy as jnp
 
@@ -59,11 +65,26 @@ def render_image(
         ts = np.concatenate([ts, np.repeat(ts[-1:], pad, 0)])
         labels = np.concatenate([labels, np.repeat(labels[-1:], pad, 0)])
 
+    put = jnp.asarray
+    from ..parallel.mesh import DATA_AXIS
+
+    if mesh is not None and int(mesh.shape.get(DATA_AXIS, 1)) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = int(mesh.shape[DATA_AXIS])
+        if chunk % n_shards:
+            raise ValueError(f"chunk {chunk} must divide over {n_shards} devices")
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        params, scene, fine_grid, sfm_grid, rng = jax.device_put(
+            (params, scene, fine_grid, sfm_grid, rng), rep)
+        put = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+
     colors, depths, normals = [], [], []
     for i in range(0, len(rays), chunk):
         out = render_chunk(
-            params, scene, jnp.asarray(rays[i : i + chunk]),
-            jnp.asarray(ts[i : i + chunk]), jnp.asarray(labels[i : i + chunk]),
+            params, scene, put(rays[i : i + chunk]),
+            put(ts[i : i + chunk]), put(labels[i : i + chunk]),
             rng, fine_grid, sfm_grid,
         )
         colors.append(np.asarray(out["color"]))
@@ -80,7 +101,7 @@ def render_image(
 def validation_report(
     render_chunk, params, scene: SceneInfo, meta: SceneMeta, id_: int,
     chunk: int = 512, fine_grid=None, sfm_grid=None, out_dir: str | None = None,
-    step: int = 0,
+    step: int = 0, mesh=None,
 ) -> dict:
     """Render the val image, compute PSNR, optionally write a
     GT/pred/depth/normal grid PNG. Returns scalar metrics."""
@@ -95,7 +116,7 @@ def validation_report(
     rays10 = np.concatenate([rays[:, :8], rays[:, 9:11]], axis=1)
 
     out = render_image(render_chunk, params, scene, rays10, ts, labels,
-                       (w, h), chunk, fine_grid, sfm_grid)
+                       (w, h), chunk, fine_grid, sfm_grid, mesh=mesh)
     import jax.numpy as jnp
 
     val_psnr = float(psnr_fn(jnp.asarray(out["color"]), jnp.asarray(img)))
