@@ -44,6 +44,13 @@ PHASE = os.environ.get("NW_BENCH_PHASE", "both")  # warmup | steady | both
 # UPDATE_FREQ steps); 'query' = per-step in-step grid query (what
 # validation renders and host-pool training pay)
 SURF_MODE = os.environ.get("NW_BENCH_SURF", "cache")
+# 'single' = one jitted step per dispatch; 'scan' = the production
+# scan-dispatch loop (training/step.py make_scan_train_fn: N_INNER
+# steps per device dispatch over an HBM-resident pool — what the
+# Trainer actually runs, amortizing host->device dispatch latency)
+DISPATCH = os.environ.get("NW_BENCH_DISPATCH", "single")
+N_INNER = int(os.environ.get("NW_BENCH_N_INNER", 10))
+SCAN_POOL_ROWS = int(os.environ.get("NW_BENCH_SCAN_POOL_ROWS", 262_144))
 POOL_ROWS = int(os.environ.get("NW_BENCH_POOL_ROWS", 2_097_152))
 UPDATE_FREQ = int(os.environ.get("NW_BENCH_UPDATE_FREQ", 5000))
 
@@ -160,14 +167,81 @@ def main():
         assert loss == loss, "NaN loss in benchmark"
         return state, BATCH * ITERS / dt
 
+    def timed_scan(rcfg_p, pool, *grids):
+        """Time the production scan-dispatch loop: N_INNER steps per
+        device dispatch, batches gathered on-device from the pool."""
+        from neuralrecon_w_tpu.training.step import make_scan_train_fn
+
+        nonlocal_state = init_state(jax.random.PRNGKey(0), fc, opt)
+        run = make_scan_train_fn(fc, rcfg_p, lcfg, opt, 50000, (),
+                                 BATCH, N_INNER)
+        data_rng = jax.random.PRNGKey(2)
+        st = nonlocal_state
+        for _ in range(WARMUP):
+            st, aux = run(st, scene, pool, data_rng, rng, *grids)
+        float(aux["loss"])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            st, aux = run(st, scene, pool, data_rng, rng, *grids)
+        loss = float(aux["loss"])
+        dt = time.perf_counter() - t0
+        assert loss == loss, "NaN loss in benchmark"
+        return dt, BATCH * N_INNER * ITERS
+
+    def make_pool(n_rows):
+        return _make_batch(n_rows, fc.n_vocab)
+
     phases = {}
     if PHASE in ("warmup", "both"):
-        step = jax.jit(make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
-                       donate_argnums=(0,), compiler_options=copts)
-        state, phases["warmup"] = timed(step, state)
+        if DISPATCH == "scan":
+            dt, n_rays = timed_scan(rcfg, make_pool(SCAN_POOL_ROWS), None, None)
+            phases["warmup"] = n_rays / dt
+        else:
+            step = jax.jit(
+                make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
+                donate_argnums=(0,), compiler_options=copts)
+            state, phases["warmup"] = timed(step, state)
     if PHASE in ("steady", "both"):
         rcfg_fine = render_config_from_cfg(cfg, fine_level=FINE_LEVEL)
         _, fine_grid = make_fine_grid(FINE_LEVEL)
+        if DISPATCH == "scan":
+            # production steady path: pool carries the precomputed
+            # surface band (DeviceRayPool.attach_surface); the refresh
+            # sweep is amortized per step exactly as in SURF_MODE=cache
+            from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
+
+            pool = make_pool(SCAN_POOL_ROWS)
+
+            @jax.jit
+            def pquery(rays):
+                surf, _, hit = grid_near_far(
+                    fine_grid, FINE_LEVEL, rays[:, 0:3], rays[:, 3:6],
+                    first_only=True)
+                return surf, hit
+
+            surf, hit = pquery(pool["rays"])
+            float(surf[0])
+            t0 = time.perf_counter()
+            surf, hit = pquery(pool["rays"])
+            float(surf[0])
+            t_query = time.perf_counter() - t0
+            amortized = t_query * (POOL_ROWS / SCAN_POOL_ROWS) / UPDATE_FREQ
+            pool = dict(pool, surf_t=surf, surf_hit=hit)
+            dt, n_rays = timed_scan(rcfg_fine, pool, fine_grid, None)
+            n_steps = ITERS * N_INNER
+            phases["steady"] = n_rays / (dt + n_steps * amortized)
+            phases["steady_refresh_ms_per_step"] = amortized * 1e3
+            headline = phases.get("steady", phases.get("warmup"))
+            print(json.dumps({
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(headline, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(headline / A100_REFERENCE_RAYS_PER_SEC, 3),
+                "phases": {k: round(v, 1) for k, v in phases.items()},
+                "fine_level": FINE_LEVEL,
+                "dispatch": "scan",
+            }))
+            return
         step = jax.jit(
             make_train_step(fc, rcfg_fine, lcfg, opt, anneal_end=50000),
             donate_argnums=(0,), compiler_options=copts)
