@@ -27,6 +27,12 @@ and is skipped.
 Usage:
     python -m neuralrecon_w_tpu.tools.convert_torch_ckpt \
         --ckpt_path epoch=10.ckpt --out results/scene/checkpoints
+
+    # reverse: export an orbax checkpoint as a Lightning-style .ckpt
+    # the reference's own tools can strict-load
+    python -m neuralrecon_w_tpu.tools.convert_torch_ckpt --reverse \
+        --orbax_path results/scene/checkpoints/step_200000 \
+        --ckpt_path exported.ckpt
 """
 
 from __future__ import annotations
@@ -105,20 +111,117 @@ def convert_state_dict(sd: dict) -> dict:
     return params
 
 
+def export_state_dict(params: dict, bg_dir_dim: int = 27) -> dict:
+    """Our params pytree -> reference Lightning state_dict (numpy
+    values; caller wraps in torch tensors). Exact inverse of
+    convert_state_dict, plus the two dead-code modules the reference's
+    strict `load_ckpt` (reference utils/__init__.py:81-94) expects:
+    the wrapper-level `neuconw.xyz_encoding_final` (Linear(512, 512)
+    hardcoded, reference models/neuconw.py:319, unused in forward) and
+    — for ENCODE_A_BG checkpoints — `nerf.views_linears.0`
+    (reference models/nerf.py:143, bypassed by the appearance head),
+    both zero-filled.
+
+    bg_dir_dim: the background NeRF's encoded view-dir width
+    (reference models/nerf.py:119-122; 27 for the stock multires_view).
+    Only shapes the dead views_linears entry in ENCODE_A_BG mode.
+    """
+    import numpy as np
+
+    def lin(p):
+        return {"weight": np.ascontiguousarray(np.asarray(p["w"]).T),
+                "bias": np.asarray(p["b"]).copy()}
+
+    def wn(p):
+        return {"weight_v": np.ascontiguousarray(np.asarray(p["v"]).T),
+                "weight_g": np.asarray(p["g"])[:, None].copy(),
+                "bias": np.asarray(p["b"]).copy()}
+
+    sd: dict = {"embedding_a.weight": np.asarray(params["embedding_a"]).copy()}
+
+    def put(prefix, entries):
+        for k, v in entries.items():
+            sd[f"{prefix}.{k}"] = v
+
+    ncw = params["neuconw"]
+    for name, p in ncw["sdf"].items():  # lin{L}
+        put(f"neuconw.sdf_net.{name}", wn(p))
+    sd["neuconw.xyz_encoding_final.weight"] = np.zeros((512, 512), np.float32)
+    sd["neuconw.xyz_encoding_final.bias"] = np.zeros((512,), np.float32)
+    sd["neuconw.deviation_network.variance"] = (
+        np.asarray(ncw["variance"], np.float32).reshape(()))
+    for name, p in ncw["color"].items():
+        if name.startswith("lin"):
+            put(f"neuconw.color_net.{name}", wn(p))
+        elif name == "xyz_final":
+            put("neuconw.color_net.xyz_encoding_final", lin(p))
+        elif name.startswith("static"):
+            s = name[len("static"):]
+            put(f"neuconw.color_net.static_encoding.static_linear_{s}", lin(p))
+        else:  # pragma: no cover - defensive
+            raise KeyError(f"unknown color entry {name}")
+
+    bg = params["nerf_bg"]
+    for name, p in bg.items():
+        if name.startswith("pts"):
+            put(f"nerf.pts_linears.{name[3:]}", lin(p))
+        elif name in ("alpha", "feature", "rgb"):
+            put(f"nerf.{name}_linear", lin(p))
+        elif name.startswith("app"):
+            put(f"nerf.apperence_encoding.static_linear_{name[3:]}", lin(p))
+        elif name == "views0":
+            put("nerf.views_linears.0", lin(p))
+        else:  # pragma: no cover - defensive
+            raise KeyError(f"unknown bg entry {name}")
+    if "views0" not in bg:  # dead layer in ENCODE_A_BG checkpoints
+        w = int(np.asarray(bg["pts0"]["w"]).shape[1])
+        half = int(np.asarray(bg["rgb"]["w"]).shape[0])
+        sd["nerf.views_linears.0.weight"] = np.zeros(
+            (half, bg_dir_dim + w), np.float32)
+        sd["nerf.views_linears.0.bias"] = np.zeros((half,), np.float32)
+    return sd
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt_path", type=str, required=True,
-                    help="reference .ckpt (Lightning) file")
-    ap.add_argument("--out", type=str, required=True,
+                    help="reference .ckpt (Lightning) file; in --reverse "
+                         "mode: the OUTPUT .ckpt path")
+    ap.add_argument("--out", type=str, default=None,
                     help="checkpoint dir to write step_<N> into")
     ap.add_argument("--step", type=int, default=None,
                     help="step label; default: the ckpt's global_step")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export an orbax checkpoint to Lightning .ckpt")
+    ap.add_argument("--orbax_path", type=str, default=None,
+                    help="orbax step_<N> dir to export (--reverse)")
+    ap.add_argument("--bg_dir_dim", type=int, default=27,
+                    help="encoded bg view-dir width for the dead "
+                         "views_linears entry (--reverse, ENCODE_A_BG)")
     args = ap.parse_args(argv)
 
     import torch
 
-    from ..training.checkpoint import save_checkpoint
+    from ..training.checkpoint import restore_checkpoint, save_checkpoint
 
+    if args.reverse:
+        import numpy as np
+
+        if not args.orbax_path:
+            ap.error("--reverse requires --orbax_path")
+        restored = restore_checkpoint(args.orbax_path, None)
+        sd_np = export_state_dict(restored["params"], args.bg_dir_dim)
+        sd = {k: torch.from_numpy(np.asarray(v, dtype=np.float32))
+              for k, v in sd_np.items()}
+        step = args.step if args.step is not None else int(restored["step"])
+        torch.save({"state_dict": sd, "global_step": step, "epoch": 0},
+                   args.ckpt_path)
+        print(f"exported {len(sd)} torch tensors -> {args.ckpt_path} "
+              f"(global_step {step})")
+        return args.ckpt_path
+
+    if not args.out:
+        ap.error("--out is required")
     ckpt = torch.load(args.ckpt_path, map_location="cpu",
                       weights_only=False)
     sd = ckpt.get("state_dict", ckpt)

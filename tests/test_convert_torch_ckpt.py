@@ -174,3 +174,77 @@ def test_convert_no_appearance_bg_branch(tmp_path):
     np.testing.assert_allclose(np.asarray(alpha), ref_alpha.numpy(),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(rgb), ref_rgb.numpy(), atol=2e-5)
+
+
+def test_export_strict_loads_into_reference_modules(tmp_path):
+    """Reverse conversion: our orbax params export to a Lightning-style
+    .ckpt that the reference's torch modules STRICT-load (the dead
+    wrapper/views layers are zero-filled to satisfy strict mode), and
+    the loaded modules reproduce the original forwards."""
+    from models.nerf import NeRF
+    from models.neuconw import NeuconW
+
+    from neuralrecon_w_tpu.tools.convert_torch_ckpt import main as convert_main
+
+    ckpt_path = str(tmp_path / "ref.ckpt")
+    neuconw, nerf, emb = _build_reference_ckpt(ckpt_path)
+    neuconw.eval()
+    nerf.eval()
+    out_dir = str(tmp_path / "converted")
+    saved = convert_main(["--ckpt_path", ckpt_path, "--out", out_dir])
+
+    exported = str(tmp_path / "exported.ckpt")
+    convert_main(["--reverse", "--orbax_path", saved,
+                  "--ckpt_path", exported])
+    ck = torch.load(exported, map_location="cpu", weights_only=False)
+    assert ck["global_step"] == 1234
+    sd = ck["state_dict"]
+
+    # fresh modules, different seed -> strict load must fully overwrite
+    torch.manual_seed(99)
+    neuconw2 = NeuconW(
+        sdfNet_config=SDF_CFG,
+        colorNet_config=dict(
+            d_feature=COLOR_CFG["d_feature"], mode="idr", d_in=9, d_out=3,
+            d_hidden=48, n_layers=3, head_channels=32,
+            static_head_layers=2, weight_norm=True, multires_view=4,
+            squeeze_out=True,
+        ),
+        SNet_config=dict(init_val=0.0),
+        in_channels_a=N_A, encode_a=True,
+    )
+    nerf2 = NeRF(D=8, W=64, d_in=4, d_in_view=3, multires=10,
+                 multires_view=4, skips=[4], in_channels_a=N_A,
+                 in_channels_dir=27, encode_appearance=True,
+                 use_viewdirs=True)
+    neuconw2.load_state_dict(
+        {k[len("neuconw."):]: v for k, v in sd.items()
+         if k.startswith("neuconw.")}, strict=True)
+    nerf2.load_state_dict(
+        {k[len("nerf."):]: v for k, v in sd.items()
+         if k.startswith("nerf.")}, strict=True)
+    neuconw2.eval()
+    nerf2.eval()
+
+    assert np.allclose(sd["embedding_a.weight"].numpy(),
+                       emb.weight.detach().numpy())
+
+    rs = np.random.RandomState(6)
+    pts = rs.randn(24, 3).astype(np.float32) * 0.5
+    views = rs.randn(24, 3).astype(np.float32)
+    views /= np.linalg.norm(views, axis=-1, keepdims=True)
+    a = rs.randn(24, N_A).astype(np.float32)
+    pts4 = rs.rand(24, 4).astype(np.float32)
+    with torch.no_grad():
+        np.testing.assert_allclose(
+            neuconw2.sdf_net(torch.from_numpy(pts)).numpy(),
+            neuconw.sdf_net(torch.from_numpy(pts)).numpy(), atol=1e-6)
+        a1, r1 = nerf(torch.from_numpy(pts4), torch.from_numpy(views),
+                      torch.from_numpy(a))
+        a2, r2 = nerf2(torch.from_numpy(pts4), torch.from_numpy(views),
+                       torch.from_numpy(a))
+        np.testing.assert_allclose(a2.numpy(), a1.numpy(), atol=1e-6)
+        np.testing.assert_allclose(r2.numpy(), r1.numpy(), atol=1e-6)
+        # deviation scalar survives the round trip
+        assert float(neuconw2.deviation_network.variance) == pytest.approx(
+            0.3)
