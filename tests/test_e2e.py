@@ -146,6 +146,32 @@ def test_04_extract_and_eval(scene, cfg_path, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_04b_render_cli_from_trained_ckpt(scene, cfg_path, tmp_path_factory):
+    """render_cli on a TRAINED checkpoint exercises the fine-grid
+    restore path (the surface grid persisted by save_checkpoint drives
+    surface-guided sampling in the render)."""
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main as render_main
+    from neuralrecon_w_tpu.training.checkpoint import restore_checkpoint
+
+    ck = test_03_train.ckpt
+    # precondition: the 300-step training refreshed the surface grid
+    assert "fine_grid" in restore_checkpoint(ck, None)
+    out = str(tmp_path_factory.mktemp("render"))
+    render_main(["--cfg_path", cfg_path, "--ckpt_path", ck,
+                 "--out_dir", out, "--img_downscale", "2",
+                 "--chunk", "120"])
+    pngs = [p for p in os.listdir(out) if p.startswith("view_")
+            and not p.endswith(("_depth.png", "_normal.png"))]
+    assert len(pngs) == 1
+    img = np.asarray(Image.open(os.path.join(out, pngs[0])), np.float32)
+    assert img.shape == (15, 20, 3)
+    # a trained model renders structure, not a constant field
+    assert img.std() > 5.0
+
+
+@pytest.mark.slow
 def test_05_resume(scene, cfg_path):
     """Checkpoint resume continues from the saved step."""
     from neuralrecon_w_tpu.tools.train_cli import main
