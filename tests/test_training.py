@@ -196,8 +196,12 @@ def _run_tp_equals_dp(cfg, batch_size=16):
 
     np.testing.assert_allclose(float(aux_tp["loss"]), float(aux_dp["loss"]),
                                rtol=1e-5)
+    # atol: TP partitions GEMM reductions, so f32 summation order
+    # differs from DP; observed worst case at flagship widths is one
+    # element in 2e4 at 2.4e-5 (Adam updates are ~1e-3, so 1e-4 still
+    # pins the update to within 10% elementwise)
     for a, b in zip(jax.tree.leaves(s_tp.params), jax.tree.leaves(s_dp.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     return specs
 
 
