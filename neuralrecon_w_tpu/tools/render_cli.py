@@ -207,13 +207,18 @@ def main(argv=None):
         ids = [meta.img_ids_train[0]]
     from ..datasets.phototourism import build_image_rays, load_image
 
+    a_index = args.a_index
+    if a_index >= fc.n_vocab:
+        print(f"# appearance index {a_index} >= N_VOCAB {fc.n_vocab}; "
+              "clamping")
+        a_index = fc.n_vocab - 1
     for id_ in ids:
         img = load_image(meta, id_)
         h, w = img.shape[:2]
         rays, _ = build_image_rays(meta, id_, with_semantics=False)
         rays10 = np.concatenate([rays[:, :8], rays[:, 9:11]], axis=1)
-        ts = (np.full((len(rays10),), args.a_index, np.int32)
-              if args.a_index >= 0 else rays[:, 8].astype(np.int32))
+        ts = (np.full((len(rays10),), a_index, np.int32)
+              if a_index >= 0 else rays[:, 8].astype(np.int32))
         render_view(params, rays10, ts, (w, h), f"view_{id_}")
 
 
