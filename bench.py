@@ -207,84 +207,80 @@ def main():
         rcfg_fine = render_config_from_cfg(cfg, fine_level=FINE_LEVEL)
         _, fine_grid = make_fine_grid(FINE_LEVEL)
         if DISPATCH == "scan":
-            # production steady path: pool carries the precomputed
-            # surface band (DeviceRayPool.attach_surface); the refresh
-            # sweep is amortized per step exactly as in SURF_MODE=cache
-            from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
-
             pool = make_pool(SCAN_POOL_ROWS)
+            if SURF_MODE == "cache":
+                # production steady path: pool carries the precomputed
+                # surface band (DeviceRayPool.attach_surface); the
+                # refresh sweep amortizes per step as in SURF_MODE=cache
+                from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
 
-            @jax.jit
-            def pquery(rays):
-                surf, _, hit = grid_near_far(
-                    fine_grid, FINE_LEVEL, rays[:, 0:3], rays[:, 3:6],
-                    first_only=True)
-                return surf, hit
+                @jax.jit
+                def pquery(rays):
+                    surf, _, hit = grid_near_far(
+                        fine_grid, FINE_LEVEL, rays[:, 0:3], rays[:, 3:6],
+                        first_only=True)
+                    return surf, hit
 
-            surf, hit = pquery(pool["rays"])
-            float(surf[0])
-            t0 = time.perf_counter()
-            surf, hit = pquery(pool["rays"])
-            float(surf[0])
-            t_query = time.perf_counter() - t0
-            amortized = t_query * (POOL_ROWS / SCAN_POOL_ROWS) / UPDATE_FREQ
-            pool = dict(pool, surf_t=surf, surf_hit=hit)
+                surf, hit = pquery(pool["rays"])
+                float(surf[0])
+                t0 = time.perf_counter()
+                surf, hit = pquery(pool["rays"])
+                float(surf[0])
+                t_query = time.perf_counter() - t0
+                amortized = (t_query * (POOL_ROWS / SCAN_POOL_ROWS)
+                             / UPDATE_FREQ)
+                pool = dict(pool, surf_t=surf, surf_hit=hit)
+            else:  # in-step grid query inside every scanned step
+                amortized = 0.0
             dt, n_rays = timed_scan(rcfg_fine, pool, fine_grid, None)
             n_steps = ITERS * N_INNER
             phases["steady"] = n_rays / (dt + n_steps * amortized)
-            phases["steady_refresh_ms_per_step"] = amortized * 1e3
-            headline = phases.get("steady", phases.get("warmup"))
-            print(json.dumps({
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(headline, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(headline / A100_REFERENCE_RAYS_PER_SEC, 3),
-                "phases": {k: round(v, 1) for k, v in phases.items()},
-                "fine_level": FINE_LEVEL,
-                "dispatch": "scan",
-            }))
-            return
-        step = jax.jit(
-            make_train_step(fc, rcfg_fine, lcfg, opt, anneal_end=50000),
-            donate_argnums=(0,), compiler_options=copts)
-        if SURF_MODE == "cache":
-            # production steady-state path: the trainer precomputes the
-            # surface band for the whole HBM-resident pool once per
-            # octree_update (DeviceRayPool.attach_surface) and the step
-            # reads it; we time the cached step and add the amortized
-            # per-step share of the refresh sweep (POOL_ROWS rays every
-            # UPDATE_FREQ steps).
-            from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
+            if SURF_MODE == "cache":
+                phases["steady_refresh_ms_per_step"] = amortized * 1e3
+        else:
+            step = jax.jit(
+                make_train_step(fc, rcfg_fine, lcfg, opt, anneal_end=50000),
+                donate_argnums=(0,), compiler_options=copts)
+            if SURF_MODE == "cache":
+                # production steady-state path: the trainer precomputes
+                # the surface band for the whole HBM-resident pool once
+                # per octree_update (DeviceRayPool.attach_surface) and
+                # the step reads it; we time the cached step and add the
+                # amortized per-step share of the refresh sweep
+                # (POOL_ROWS rays every UPDATE_FREQ steps).
+                from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far
 
-            @jax.jit
-            def query(rays):
-                surf, _, hit = grid_near_far(
-                    fine_grid, FINE_LEVEL, rays[:, 0:3], rays[:, 3:6],
-                    first_only=True)
-                return surf, hit
+                @jax.jit
+                def query(rays):
+                    surf, _, hit = grid_near_far(
+                        fine_grid, FINE_LEVEL, rays[:, 0:3], rays[:, 3:6],
+                        first_only=True)
+                    return surf, hit
 
-            surf, hit = query(batch["rays"])
-            float(surf[0])  # compile + sync
-            t0 = time.perf_counter()
-            for _ in range(5):
                 surf, hit = query(batch["rays"])
-            float(surf[0])
-            t_query = (time.perf_counter() - t0) / 5
-            amortized = t_query * (POOL_ROWS / BATCH) / UPDATE_FREQ  # s/step
-            cbatch = dict(batch, surf_t=surf, surf_hit=hit)
-            for _ in range(WARMUP):
-                state, aux = step(state, scene, cbatch, rng, fine_grid, None)
-            float(aux["loss"])
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                state, aux = step(state, scene, cbatch, rng, fine_grid, None)
-            loss = float(aux["loss"])
-            dt = time.perf_counter() - t0
-            assert loss == loss, "NaN loss in benchmark"
-            phases["steady"] = BATCH * ITERS / (dt + ITERS * amortized)
-            phases["steady_refresh_ms_per_step"] = amortized * 1e3
-        else:  # in-step query (validation / host-pool fallback path)
-            state, phases["steady"] = timed(step, state, fine_grid, None)
+                float(surf[0])  # compile + sync
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    surf, hit = query(batch["rays"])
+                float(surf[0])
+                t_query = (time.perf_counter() - t0) / 5
+                amortized = t_query * (POOL_ROWS / BATCH) / UPDATE_FREQ
+                cbatch = dict(batch, surf_t=surf, surf_hit=hit)
+                for _ in range(WARMUP):
+                    state, aux = step(state, scene, cbatch, rng,
+                                      fine_grid, None)
+                float(aux["loss"])
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    state, aux = step(state, scene, cbatch, rng,
+                                      fine_grid, None)
+                loss = float(aux["loss"])
+                dt = time.perf_counter() - t0
+                assert loss == loss, "NaN loss in benchmark"
+                phases["steady"] = BATCH * ITERS / (dt + ITERS * amortized)
+                phases["steady_refresh_ms_per_step"] = amortized * 1e3
+            else:  # in-step query (validation / host-pool fallback path)
+                state, phases["steady"] = timed(step, state, fine_grid, None)
 
     # headline = the phase the reference spends ~99% of training in
     headline = phases.get("steady", phases.get("warmup"))
@@ -295,6 +291,8 @@ def main():
         "vs_baseline": round(headline / A100_REFERENCE_RAYS_PER_SEC, 3),
         "phases": {k: round(v, 1) for k, v in phases.items()},
         "fine_level": FINE_LEVEL if "steady" in phases else None,
+        "dispatch": DISPATCH,
+        "surf_mode": SURF_MODE if "steady" in phases else None,
     }))
 
 

@@ -68,7 +68,7 @@ def _slerp_pose(p0, p1, t):
     return np.concatenate([r, c[:, None]], axis=1).astype(np.float32)
 
 
-def _rays_for_pose(meta, K, c2w, wh, near, far):
+def _rays_for_pose(K, c2w, wh, near, far):
     """(N, 10) render-layout rays [o, d, near, far, depth=0, weight=0]
     for an arbitrary camera (layout of datasets/phototourism.py
     build_image_rays minus the ts/semantic columns)."""
@@ -109,38 +109,20 @@ def main(argv=None):
     import numpy as np
 
     from ..config import get_cfg_defaults
-    from ..datasets.phototourism import SCENE_DEFAULTS, load_scene_meta
     from ..models.neuconw import field_config_from_cfg
     from ..ops.ray_voxel import device_grid_from_host as make_device_grid
-    from ..ops.voxel_grid import grid_from_sfm_points
-    from ..rendering.renderer import SceneInfo, render_config_from_cfg
+    from ..rendering.renderer import render_config_from_cfg
     from ..training.checkpoint import restore_checkpoint
     from ..training.step import make_render_fn
     from ..training.validation import render_image
+    from ..utils.scene import load_scene_bundle, val_downscale
 
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
-    root = cfg.DATASET.ROOT_DIR
-    scene_name = os.path.basename(os.path.normpath(root))
-    sfm_path = (cfg.DATASET.PHOTOTOURISM.SFM_PATH
-                or SCENE_DEFAULTS.get(scene_name, {}).get("sfm_path", "sparse"))
-    ds = args.img_downscale
-    if ds <= 0:
-        ds = max(8, int(cfg.DATASET.PHOTOTOURISM.IMG_DOWNSCALE))
-    meta = load_scene_meta(root, ds, sfm_path=sfm_path)
-    sc = meta.scene_config
+    ds = args.img_downscale if args.img_downscale > 0 else val_downscale(cfg)
+    meta, scene, sfm_grid, sfm_dgrid = load_scene_bundle(cfg, ds)
 
     import jax.numpy as jnp
-
-    scene = SceneInfo(
-        origin=jnp.asarray(sc["origin"], jnp.float32),
-        radius=jnp.asarray(float(sc["radius"]), jnp.float32),
-        sfm2gt=jnp.asarray(sc["sfm2gt"], jnp.float32),
-    )
-    sfm_grid = grid_from_sfm_points(
-        sc, meta.points3d, sc["min_track_length"], sc["voxel_size"],
-        expand=1, radius=1.0)
-    sfm_dgrid = make_device_grid(sfm_grid)
 
     restored = restore_checkpoint(args.ckpt_path, None)
     params = restored["params"]
@@ -174,13 +156,21 @@ def main(argv=None):
     if args.a_interp:
         i, j = (int(x) for x in args.a_interp.split(","))
         table = np.asarray(params["embedding_a"])
+        for idx in (i, j):
+            if not (0 <= idx < len(table)) or idx not in meta.poses:
+                raise SystemExit(
+                    f"--a_interp index {idx} is not a dataset image id "
+                    f"within N_VOCAB {len(table)}; choose ids from the "
+                    "scene tsv")
         e_i, e_j = table[i].copy(), table[j].copy()
         from ..datasets.phototourism import build_image_rays, load_image
 
-        rays_i, _ = build_image_rays(meta, i, with_semantics=False)
-        # base camera: view i (or interpolated when --pose_interp)
+        # base camera: view i (or interpolated when --pose_interp; the
+        # dataset ray build incl. its SFM depth raster is skipped then)
         K = meta.Ks[i]
         h, w = load_image(meta, i).shape[:2]
+        if not args.pose_interp:
+            rays_i, _ = build_image_rays(meta, i, with_semantics=False)
         near = float(min(meta.nears[i], meta.nears[j]))
         far = float(max(meta.fars[i], meta.fars[j]))
         for k in range(args.frames):
@@ -192,7 +182,7 @@ def main(argv=None):
             if args.pose_interp:
                 c2w = _slerp_pose(np.asarray(meta.poses[i], np.float64),
                                   np.asarray(meta.poses[j], np.float64), t)
-                rays10 = _rays_for_pose(meta, K, c2w, (w, h), near, far)
+                rays10 = _rays_for_pose(K, c2w, (w, h), near, far)
             else:
                 rays10 = np.concatenate(
                     [rays_i[:, :8], rays_i[:, 9:11]], axis=1)

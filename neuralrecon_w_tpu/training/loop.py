@@ -23,12 +23,12 @@ import numpy as np
 
 from ..datasets.cache import RayPool, local_split_names, read_ray_cache
 from ..datasets.mask_utils import get_label_id_mapping
-from ..datasets.phototourism import SCENE_DEFAULTS, load_scene_meta
+from ..datasets.phototourism import load_scene_meta
 from ..models.neuconw import field_config_from_cfg
 from ..ops.ray_voxel import make_device_grid
-from ..ops.voxel_grid import VoxelGrid, grid_from_sfm_points
+from ..ops.voxel_grid import VoxelGrid
 from ..parallel.mesh import make_mesh, shard_rays
-from ..rendering.renderer import SceneInfo, render_config_from_cfg
+from ..rendering.renderer import render_config_from_cfg
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .losses import loss_config_from_cfg
 from .schedule import make_optimizer
@@ -97,25 +97,13 @@ class Trainer:
         n_data = int(np.prod(self.mesh.devices.shape))
         self.world_batch = tcfg.batch_size * 1  # rays are global, sharded
 
-        root = cfg.DATASET.ROOT_DIR
-        scene_name = os.path.basename(os.path.normpath(root))
-        defaults = SCENE_DEFAULTS.get(scene_name, {})
-        sfm_path = cfg.DATASET.PHOTOTOURISM.SFM_PATH or defaults.get("sfm_path", "sparse")
-        self.meta = load_scene_meta(root, cfg.DATASET.PHOTOTOURISM.IMG_DOWNSCALE,
-                                    sfm_path=sfm_path)
-        sc = self.meta.scene_config
-        self.scene = SceneInfo(
-            origin=jnp.asarray(sc["origin"], jnp.float32),
-            radius=jnp.asarray(float(sc["radius"]), jnp.float32),
-            sfm2gt=jnp.asarray(sc["sfm2gt"], jnp.float32),
-        )
+        from ..utils.scene import load_scene_bundle
 
-        # SFM occupancy grid (validation near/far override + surface init)
-        self.sfm_grid = grid_from_sfm_points(
-            sc, self.meta.points3d, sc["min_track_length"], sc["voxel_size"],
-            expand=1, radius=1.0,
-        )
-        self.sfm_dgrid = make_device_grid(self.sfm_grid)
+        root = cfg.DATASET.ROOT_DIR
+        # SFM occupancy grid: validation near/far override + surface init
+        self.meta, self.scene, self.sfm_grid, self.sfm_dgrid = (
+            load_scene_bundle(cfg))
+        sc = self.meta.scene_config
         self.train_level = surface_level(sc, float(cfg.NEUCONW.TRAIN_VOXEL_SIZE))
 
         self.fc = field_config_from_cfg(cfg)
@@ -374,19 +362,24 @@ class Trainer:
             # phototourism.py:70-71 forces this to avoid OOM on
             # megapixel photos); TRAINER.VAL_DOWNSCALE overrides for
             # small images where /8 wrecks the metric
-            vds = int(getattr(self.cfg.TRAINER, "VAL_DOWNSCALE", -1))
-            if vds <= 0:
-                vds = max(8, int(self.cfg.DATASET.PHOTOTOURISM.IMG_DOWNSCALE))
+            from ..utils.scene import val_downscale
+
             self._val_meta = load_scene_meta(
-                self.cfg.DATASET.ROOT_DIR, vds, sfm_path=self.meta.sfm_path,
+                self.cfg.DATASET.ROOT_DIR, val_downscale(self.cfg),
+                sfm_path=self.meta.sfm_path,
             )
         val_id = self._val_meta.img_ids_train[0]  # reference phototourism.py:695
+        # shard the render over the data axis only when the chunk
+        # divides it — otherwise fall back to single-device (a config
+        # choice must never kill the training run at validation time)
+        n_data = int(self.mesh.shape.get("data", 1))
+        val_mesh = self.mesh if self.tcfg.test_batch_size % n_data == 0 else None
         metrics = validation_report(
             self._steps[key], self.state.params, self.scene, self._val_meta,
             val_id, chunk=self.tcfg.test_batch_size,
             fine_grid=self.fine_dgrid, sfm_grid=self.sfm_dgrid,
             out_dir=os.path.join(self.exp_dir, "val"), step=step,
-            mesh=self.mesh,
+            mesh=val_mesh,
         )
         metrics.update(self._inline_mesh_eval(step))
         self.logger.log(step, metrics)

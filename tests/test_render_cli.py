@@ -132,49 +132,28 @@ def test_pose_interp_moves_camera(render_setup):
     assert np.abs(d[0] - d[1]).mean() > 1e-3
 
 
-def test_sharded_render_matches_single_device(render_setup):
-    """render_image over the 8-device mesh (rays sharded on the data
-    axis, params replicated) reproduces the single-device render."""
-    import jax
+def _sharded_setup(cfg_path, ckpt_path):
+    """Shared pieces for the sharded-render parity tests."""
     import numpy as np
 
     from neuralrecon_w_tpu.config import get_cfg_defaults
     from neuralrecon_w_tpu.datasets.phototourism import (
-        build_image_rays, load_scene_meta,
+        build_image_rays, load_image,
     )
     from neuralrecon_w_tpu.models.neuconw import field_config_from_cfg
-    from neuralrecon_w_tpu.ops.ray_voxel import device_grid_from_host
-    from neuralrecon_w_tpu.ops.voxel_grid import grid_from_sfm_points
-    from neuralrecon_w_tpu.parallel.mesh import make_mesh
-    from neuralrecon_w_tpu.rendering.renderer import (
-        SceneInfo, render_config_from_cfg,
-    )
+    from neuralrecon_w_tpu.rendering.renderer import render_config_from_cfg
     from neuralrecon_w_tpu.training.checkpoint import restore_checkpoint
     from neuralrecon_w_tpu.training.step import make_render_fn
-    from neuralrecon_w_tpu.training.validation import render_image
+    from neuralrecon_w_tpu.utils.scene import load_scene_bundle
 
-    import jax.numpy as jnp
-
-    cfg_path, ckpt_path, _ = render_setup
     cfg = get_cfg_defaults()
     cfg.merge_from_file(cfg_path)
-    meta = load_scene_meta(cfg.DATASET.ROOT_DIR, 4)
-    sc = meta.scene_config
-    scene = SceneInfo(
-        origin=jnp.asarray(sc["origin"], jnp.float32),
-        radius=jnp.asarray(float(sc["radius"]), jnp.float32),
-        sfm2gt=jnp.asarray(sc["sfm2gt"], jnp.float32))
-    sfm_grid = grid_from_sfm_points(
-        sc, meta.points3d, sc["min_track_length"], sc["voxel_size"],
-        expand=1, radius=1.0)
-    sfm_dgrid = device_grid_from_host(sfm_grid)
+    meta, scene, sfm_grid, sfm_dgrid = load_scene_bundle(cfg, 4)
     params = restore_checkpoint(ckpt_path, None)["params"]
     fc = field_config_from_cfg(cfg)
     rcfg = render_config_from_cfg(cfg, sfm_level=sfm_grid.level,
                                   nerf_far_override=True)
     render_chunk = make_render_fn(fc, rcfg)
-
-    from neuralrecon_w_tpu.datasets.phototourism import load_image
 
     id_ = meta.img_ids_train[0]
     h, w = load_image(meta, id_).shape[:2]
@@ -182,13 +161,22 @@ def test_sharded_render_matches_single_device(render_setup):
     rays10 = np.concatenate([rays[:, :8], rays[:, 9:11]], axis=1)
     ts = rays[:, 8].astype(np.int32)
     labels = np.zeros((len(rays10),), np.int32)
-    wh = (w, h)
     kw = dict(chunk=40, fine_grid=None, sfm_grid=sfm_dgrid)
+    return render_chunk, params, scene, rays10, ts, labels, (w, h), kw
 
+
+def _assert_sharded_parity(render_setup, mesh_kwargs):
+    import numpy as np
+
+    from neuralrecon_w_tpu.parallel.mesh import make_mesh
+    from neuralrecon_w_tpu.training.validation import render_image
+
+    cfg_path, ckpt_path, _ = render_setup
+    (render_chunk, params, scene, rays10, ts, labels, wh,
+     kw) = _sharded_setup(cfg_path, ckpt_path)
     single = render_image(render_chunk, params, scene, rays10, ts, labels,
                           wh, **kw)
-    mesh = make_mesh()
-    assert int(np.prod(mesh.devices.shape)) == 8
+    mesh = make_mesh(**mesh_kwargs)
     sharded = render_image(render_chunk, params, scene, rays10, ts, labels,
                            wh, mesh=mesh, **kw)
     for k in ("color", "depth", "normal"):
@@ -196,60 +184,13 @@ def test_sharded_render_matches_single_device(render_setup):
                                    atol=2e-5, err_msg=k)
 
 
+def test_sharded_render_matches_single_device(render_setup):
+    """render_image over the 8-device mesh (rays sharded on the data
+    axis, params replicated) reproduces the single-device render."""
+    _assert_sharded_parity(render_setup, {})
+
+
 def test_sharded_render_with_model_axis(render_setup):
     """A (data=4, model=2) mesh must also reproduce the single-device
     render: rays shard on data only, params replicate over both axes."""
-    import numpy as np
-
-    import jax.numpy as jnp
-
-    from neuralrecon_w_tpu.config import get_cfg_defaults
-    from neuralrecon_w_tpu.datasets.phototourism import (
-        build_image_rays, load_image, load_scene_meta,
-    )
-    from neuralrecon_w_tpu.models.neuconw import field_config_from_cfg
-    from neuralrecon_w_tpu.ops.ray_voxel import device_grid_from_host
-    from neuralrecon_w_tpu.ops.voxel_grid import grid_from_sfm_points
-    from neuralrecon_w_tpu.parallel.mesh import make_mesh
-    from neuralrecon_w_tpu.rendering.renderer import (
-        SceneInfo, render_config_from_cfg,
-    )
-    from neuralrecon_w_tpu.training.checkpoint import restore_checkpoint
-    from neuralrecon_w_tpu.training.step import make_render_fn
-    from neuralrecon_w_tpu.training.validation import render_image
-
-    cfg_path, ckpt_path, _ = render_setup
-    cfg = get_cfg_defaults()
-    cfg.merge_from_file(cfg_path)
-    meta = load_scene_meta(cfg.DATASET.ROOT_DIR, 4)
-    sc = meta.scene_config
-    scene = SceneInfo(
-        origin=jnp.asarray(sc["origin"], jnp.float32),
-        radius=jnp.asarray(float(sc["radius"]), jnp.float32),
-        sfm2gt=jnp.asarray(sc["sfm2gt"], jnp.float32))
-    sfm_grid = grid_from_sfm_points(
-        sc, meta.points3d, sc["min_track_length"], sc["voxel_size"],
-        expand=1, radius=1.0)
-    sfm_dgrid = device_grid_from_host(sfm_grid)
-    params = restore_checkpoint(ckpt_path, None)["params"]
-    fc = field_config_from_cfg(cfg)
-    rcfg = render_config_from_cfg(cfg, sfm_level=sfm_grid.level,
-                                  nerf_far_override=True)
-    render_chunk = make_render_fn(fc, rcfg)
-
-    id_ = meta.img_ids_train[0]
-    h, w = load_image(meta, id_).shape[:2]
-    rays, _ = build_image_rays(meta, id_, with_semantics=False)
-    rays10 = np.concatenate([rays[:, :8], rays[:, 9:11]], axis=1)
-    ts = rays[:, 8].astype(np.int32)
-    labels = np.zeros((len(rays10),), np.int32)
-    kw = dict(chunk=40, fine_grid=None, sfm_grid=sfm_dgrid)
-
-    single = render_image(render_chunk, params, scene, rays10, ts, labels,
-                          (w, h), **kw)
-    tp_mesh = make_mesh(n_data=4, n_model=2)
-    sharded = render_image(render_chunk, params, scene, rays10, ts, labels,
-                           (w, h), mesh=tp_mesh, **kw)
-    for k in ("color", "depth", "normal"):
-        np.testing.assert_allclose(sharded[k], single[k], rtol=2e-5,
-                                   atol=2e-5, err_msg=k)
+    _assert_sharded_parity(render_setup, dict(n_data=4, n_model=2))
