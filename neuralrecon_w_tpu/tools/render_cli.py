@@ -54,6 +54,11 @@ def get_opts(argv=None):
     parser.add_argument("--pose_interp", action="store_true",
                         help="with --a_interp: also move the camera from "
                              "view I to view J (slerp rotation)")
+    parser.add_argument("--gif", action="store_true",
+                        help="with --a_interp: also write an animated "
+                             "GIF of the frames (ping-pong loop)")
+    parser.add_argument("--gif_ms", type=int, default=120,
+                        help="GIF frame duration in milliseconds")
     return parser.parse_args(argv)
 
 
@@ -189,6 +194,19 @@ def main(argv=None):
             ts = np.zeros((len(rays10),), np.int32)
             render_view(pars_t, rays10, ts, (w, h),
                         f"interp_{i}_{j}_{k:03d}")
+        if args.gif:
+            from PIL import Image as PILImage
+
+            frames = [
+                PILImage.open(os.path.join(
+                    args.out_dir, f"interp_{i}_{j}_{k:03d}.png")).convert("P")
+                for k in range(args.frames)
+            ]
+            seq = frames + frames[-2:0:-1]  # ping-pong loop
+            gif_path = os.path.join(args.out_dir, f"interp_{i}_{j}.gif")
+            seq[0].save(gif_path, save_all=True, append_images=seq[1:],
+                        duration=args.gif_ms, loop=0)
+            print(f"wrote {gif_path} ({len(seq)} frames)")
         return
 
     if args.img_ids:

@@ -115,6 +115,20 @@ def test_appearance_interpolation_endpoints(render_setup):
     assert mid_vs_ends > 1e-4
 
 
+def test_gif_assembly(render_setup):
+    from PIL import Image
+
+    from neuralrecon_w_tpu.tools.render_cli import main
+
+    cfg_path, ckpt_path, base = render_setup
+    out = os.path.join(base, "gif")
+    main(["--cfg_path", cfg_path, "--ckpt_path", ckpt_path,
+          "--out_dir", out, "--img_downscale", "2", "--chunk", "128",
+          "--a_interp", "1,3", "--frames", "3", "--gif"])
+    gif = Image.open(os.path.join(out, "interp_1_3.gif"))
+    assert gif.is_animated and gif.n_frames == 4  # 3 + ping-pong middle
+
+
 def test_pose_interp_moves_camera(render_setup):
     from PIL import Image
 
