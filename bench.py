@@ -154,20 +154,21 @@ def main():
     batch = _make_batch(BATCH, fc.n_vocab)
     rng = jax.random.PRNGKey(1)
 
-    def timed(step, state, *extra):
+    def timed(step, state, *extra, batch_arrays=None, extra_s_per_step=0.0):
+        b = batch if batch_arrays is None else batch_arrays
         for _ in range(WARMUP):
-            state, aux = step(state, scene, batch, rng, *extra)
+            state, aux = step(state, scene, b, rng, *extra)
         # value fetch, not block_until_ready: remote-device transports may
         # resolve readiness before execution completes; pulling the scalar
         # guarantees the whole dependent chain actually ran
         float(aux["loss"])
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            state, aux = step(state, scene, batch, rng, *extra)
+            state, aux = step(state, scene, b, rng, *extra)
         loss = float(aux["loss"])
         dt = time.perf_counter() - t0
         assert loss == loss, "NaN loss in benchmark"
-        return state, BATCH * ITERS / dt
+        return state, BATCH * ITERS / (dt + ITERS * extra_s_per_step)
 
     def timed_scan(rcfg_p, pool, *grids):
         """Time the production scan-dispatch loop: N_INNER steps per
@@ -266,18 +267,9 @@ def main():
                 t_query = (time.perf_counter() - t0) / 5
                 amortized = t_query * (POOL_ROWS / BATCH) / UPDATE_FREQ
                 cbatch = dict(batch, surf_t=surf, surf_hit=hit)
-                for _ in range(WARMUP):
-                    state, aux = step(state, scene, cbatch, rng,
-                                      fine_grid, None)
-                float(aux["loss"])
-                t0 = time.perf_counter()
-                for _ in range(ITERS):
-                    state, aux = step(state, scene, cbatch, rng,
-                                      fine_grid, None)
-                loss = float(aux["loss"])
-                dt = time.perf_counter() - t0
-                assert loss == loss, "NaN loss in benchmark"
-                phases["steady"] = BATCH * ITERS / (dt + ITERS * amortized)
+                state, phases["steady"] = timed(
+                    step, state, fine_grid, None, batch_arrays=cbatch,
+                    extra_s_per_step=amortized)
                 phases["steady_refresh_ms_per_step"] = amortized * 1e3
             else:  # in-step query (validation / host-pool fallback path)
                 state, phases["steady"] = timed(step, state, fine_grid, None)

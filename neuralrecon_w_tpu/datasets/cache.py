@@ -284,17 +284,10 @@ class DeviceRayPool:
         reference rendering/renderer.py:415-430). Call again after every
         refresh; ``detach_surface`` drops the cache (warm-up phase).
         """
-        import jax
         import jax.numpy as jnp
 
-        from ..ops.ray_voxel import grid_near_far
-
-        @jax.jit
         def query(rays):
-            surf, _, hit = grid_near_far(
-                grid, level, rays[:, 0:3], rays[:, 3:6], first_only=True
-            )
-            return surf, hit
+            return _band_query(grid, level, rays)
 
         rays = self.data["rays"]
         if self._mesh is not None:
@@ -309,3 +302,28 @@ class DeviceRayPool:
     def detach_surface(self):
         self.data = {k: v for k, v in self.data.items()
                      if k not in ("surf_t", "surf_hit")}
+
+
+def _band_query(grid, level, rays):
+    """Module-level jitted band query: the grid is a traced ARGUMENT,
+    not a captured constant, so successive octree refreshes reuse the
+    compiled traversal (a flat grid's shape never changes at fixed
+    level; a hierarchical grid recompiles only when its rank-indexed
+    word count changes) instead of paying a constant-laden compile per
+    attach_surface call."""
+    import jax
+
+    if not hasattr(_band_query, "_jitted"):
+        from functools import partial
+
+        from ..ops.ray_voxel import grid_near_far
+
+        @partial(jax.jit, static_argnames=("level",))
+        def jitted(grid, level, rays):
+            surf, _, hit = grid_near_far(
+                grid, level, rays[:, 0:3], rays[:, 3:6], first_only=True
+            )
+            return surf, hit
+
+        _band_query._jitted = jitted
+    return _band_query._jitted(grid, level, rays)

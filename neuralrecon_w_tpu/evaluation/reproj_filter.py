@@ -137,8 +137,10 @@ def render_hit_codes_multi(
         o = (np.concatenate(buf_o) - grid.origin) / grid.scale
         d = np.concatenate(buf_d)
         n = len(o)
-        if n < chunk:  # pad to the compiled shape with guaranteed misses
-            pad = chunk - n
+        pad = (-n) % chunk
+        if pad:  # pad the TAIL to the compiled shape with guaranteed
+            # misses — every slice below must be exactly chunk-sized or
+            # the while_loop recompiles per odd remainder
             o = np.concatenate([o, np.full((pad, 3), 4.0)])
             d = np.concatenate([d, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
         for i in range(0, len(o), chunk):

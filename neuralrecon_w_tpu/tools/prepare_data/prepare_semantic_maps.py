@@ -85,9 +85,12 @@ def _load_segformer(weights_dir: str):
                 logits, size=(h, w), mode="bilinear", align_corners=False
             )
             cls = logits[0].argmax(0).numpy()
-        # SegFormer ADE20K heads index classes 0..149; the reference's
-        # label table (mask_utils) is 1-based ADE ids
-        return (cls + 1).astype(np.int16)
+        # SegFormer ADE20K heads index classes 0..149 — the SAME
+        # 0-based convention as the label table every consumer uses
+        # (mask_utils enumerate: sky=2, person=12) and as the raw
+        # mmseg predictions the reference saves (reference
+        # tools/prepare_data/prepare_semantic_maps.py:46-50)
+        return cls.astype(np.int16)
 
     return model, infer
 

@@ -12,8 +12,13 @@ run() {
   echo "== $tag $(date -u +%H:%M:%S)" >&2
   local line
   line=$(env "$@" timeout 1800 python bench.py 2>/tmp/remat_sweep_err.log | tail -1)
-  echo "{\"tag\": \"$tag\", \"bench\": $line}" >> "$OUT"
-  echo "$line" >&2
+  if [ -n "$line" ]; then
+    echo "{\"tag\": \"$tag\", \"bench\": $line}" >> "$OUT"
+    echo "$line" >&2
+  else  # failed/timed-out bench: record the failure as valid JSON
+    echo "{\"tag\": \"$tag\", \"bench\": null}" >> "$OUT"
+    echo "(bench failed; see /tmp/remat_sweep_err.log)" >&2
+  fi
 }
 
 run baseline             NW_BENCH_PHASE=both

@@ -176,8 +176,9 @@ def test_prepare_semantic_maps_segformer_backend(sphere_scene, tmp_path):
     sem = arr[arr.files[0]]
     assert sem.shape == (30, 40)
     assert sem.dtype == np.int16
-    # real inference: labels are 1-based ADE ids and non-constant
-    assert sem.min() >= 1 and sem.max() <= 150
+    # real inference: labels use the 0-based ADE convention of
+    # mask_utils (sky=2, person=12) and are non-constant
+    assert sem.min() >= 0 and sem.max() <= 149
     assert len(np.unique(sem)) > 1
 
 

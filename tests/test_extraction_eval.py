@@ -356,6 +356,23 @@ def test_render_hit_codes_multi_matches_per_view():
         per_view = np.union1d(
             per_view, render_hit_codes(dgrid, grid, Kc, c2w, wh)
         )
-    # chunk 4000 forces several flushes + one padded partial batch
-    multi = render_hit_codes_multi(dgrid, grid, cameras, chunk=4000)
+    # chunk 4000 forces several flushes, incl. overshooting ones
+    # (3 views = 5184 rays > 4000): every traversal call must still see
+    # exactly chunk-shaped inputs or the DDA while_loop recompiles per
+    # odd remainder, defeating the single-compile contract
+    import neuralrecon_w_tpu.evaluation.reproj_filter as rf
+
+    seen_shapes = []
+    real_traverse = rf.traverse
+
+    def recording_traverse(dg, level, o, d, **kw):
+        seen_shapes.append(tuple(o.shape))
+        return real_traverse(dg, level, o, d, **kw)
+
+    try:
+        rf.traverse = recording_traverse
+        multi = render_hit_codes_multi(dgrid, grid, cameras, chunk=4000)
+    finally:
+        rf.traverse = real_traverse
     np.testing.assert_array_equal(multi, per_view)
+    assert set(seen_shapes) == {(4000, 3)}, seen_shapes
