@@ -30,11 +30,28 @@ def get_opts(argv=None):
     parser.add_argument("--lr_divisor", type=float, default=5)
     parser.add_argument("--n_devices", type=int, default=-1,
                         help="data-mesh size; -1 = all visible devices")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() before "
+                             "touching devices: run this CLI once per "
+                             "host (SPMD), configured via the standard "
+                             "JAX env vars (COORDINATOR_ADDRESS, "
+                             "NUM_PROCESSES, PROCESS_ID) or the "
+                             "auto-detecting TPU-pod environment. The "
+                             "multi-GPU/multi-node role of the "
+                             "reference's 'ddp' launch (train.py:55)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = get_opts(argv)
+
+    if args.multihost:
+        # must run before any other jax API creates the backend; each
+        # host then sees its local devices and the 64 cache splits are
+        # partitioned across processes (datasets/cache.local_split_names)
+        import jax
+
+        jax.distributed.initialize()
 
     from ..config import get_cfg_defaults
     from ..parallel.mesh import make_mesh

@@ -202,3 +202,14 @@ def test_prepare_semantic_maps_production_weights(sphere_scene):
     arr = np.load(os.path.join(root, out_rel, files[0]))
     sem = arr[arr.files[0]]
     assert (sem == 2).mean() > 0.1  # sky dominates the background
+
+
+def test_train_cli_multihost_flag_parses():
+    """--multihost is the reference's NUM_NODE role (train.py:55); the
+    actual jax.distributed.initialize() needs a coordinator, so only
+    the CLI contract is testable here."""
+    from neuralrecon_w_tpu.tools.train_cli import get_opts
+
+    args = get_opts(["--cfg_path", "x.yaml", "--multihost"])
+    assert args.multihost is True
+    assert get_opts(["--cfg_path", "x.yaml"]).multihost is False
