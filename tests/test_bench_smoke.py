@@ -1,0 +1,49 @@
+"""bench.py is the driver's one recorded artifact per round — these
+smoke tests run it end-to-end as a subprocess (tiny knobs, CPU) so a
+refactor can't silently break the headline benchmark at round end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # never claim the chip
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env.update(NW_BENCH_BATCH="128", NW_BENCH_ITERS="2",
+               NW_BENCH_FINE_LEVEL="8", NW_BENCH_WAIT_S="1",
+               NW_BENCH_N_INNER="2", NW_BENCH_SCAN_POOL_ROWS="1024")
+    env.update(extra_env)
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, capture_output=True, text=True, timeout=900,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+@pytest.mark.parametrize("env,expect", [
+    ({}, {"dispatch": "single", "surf_mode": "cache"}),
+    ({"NW_BENCH_DISPATCH": "scan"}, {"dispatch": "scan"}),
+    ({"NW_BENCH_SURF": "query"}, {"surf_mode": "query"}),
+    ({"NW_BENCH_PHASE": "warmup"}, {"fine_level": None}),
+])
+def test_bench_contract(env, expect):
+    out = _run_bench(env)
+    assert out["metric"] == "train_rays_per_sec_per_chip"
+    assert out["unit"] == "rays/s"
+    assert out["value"] > 0 and out["vs_baseline"] > 0
+    assert set(out["phases"]) >= (
+        {"warmup"} if env.get("NW_BENCH_PHASE") == "warmup"
+        else {"warmup", "steady"})
+    for k, v in expect.items():
+        assert out.get(k) == v, out
