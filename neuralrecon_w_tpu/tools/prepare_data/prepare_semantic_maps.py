@@ -12,8 +12,10 @@ backend honoring that contract plugs in here:
     nvidia/segformer-b4-finetuned-ade-512-512 fetched on a machine with
     egress). Weights-dir contract: ``config.json`` +
     ``model.safetensors`` (or ``pytorch_model.bin``); pass it via
-    --weights. SegFormer's ADE class indices 0..149 map to the
-    reference's 1..150 ids (mask_utils) by a +1 shift.
+    --weights. SegFormer's ADE class indices are already the 0-based
+    ids mask_utils and every downstream consumer use — emitted as-is,
+    NO shift (the 0-based contract is pinned by
+    tests/test_cli_tools.py).
   * --backend torchvision: torchvision deeplabv3 (needs local weights
     via --weights; its VOC/COCO labels are remapped onto the few ADE20K
     ids the pipeline consumes: person/car/sky-equivalents),

@@ -55,25 +55,21 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarra
     return jnp.mean(num / den)
 
 
-def lpips_loss(pred, gt, net: str = "vgg"):
+def lpips_loss(pred, gt, net: str = "vgg", weights: str | None = None):
     """LPIPS perceptual distance over (H, W, 3) [0,1] images.
 
-    The reference imports the `lpips` package (reference metrics.py) but
-    never uses it in training; this offline-eval helper needs the
-    package + its pretrained weights locally and raises otherwise."""
-    try:
-        import lpips as lpips_pkg
-        import torch
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "lpips requires the `lpips` package and local pretrained "
-            "weights (zero-egress environments must vendor them)"
-        ) from e
-    import numpy as np
+    First-party JAX implementation (training/lpips.py) of the metric the
+    reference wraps via the `lpips` package (reference metrics.py:13-31;
+    unused in its training loop). Calibrated scores need the pretrained
+    weights: pass ``weights`` = a saved ``lpips.LPIPS(net=..).state_dict()``
+    file (see lpips.py docstring for the one-line export recipe)."""
+    from .lpips import lpips, load_torch_state_dict
 
-    model = lpips_pkg.LPIPS(net=net)
-    to_t = lambda x: torch.from_numpy(
-        (np.asarray(x, np.float32).transpose(2, 0, 1) * 2 - 1)[None]
-    )
-    with torch.no_grad():
-        return float(model(to_t(pred), to_t(gt)).item())
+    if weights is None:
+        raise RuntimeError(
+            "LPIPS needs pretrained conv weights; vendor a "
+            "lpips.LPIPS state_dict file and pass weights=<path> "
+            "(zero-egress environments cannot download them)"
+        )
+    params = load_torch_state_dict(weights, net=net)
+    return float(lpips(params, pred, gt))

@@ -15,12 +15,13 @@ Usage: python scripts/exp_reproj_filter_bench.py [n_views] [img_side]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from neuralrecon_w_tpu.evaluation.reproj_filter import (  # noqa: E402
     make_device_grid, render_hit_codes, render_hit_codes_multi,
@@ -79,12 +80,16 @@ def main():
     t0 = time.perf_counter()
     codes_multi = render_hit_codes_multi(dgrid, grid, cameras)
     t_multi = time.perf_counter() - t0
-    assert np.array_equal(codes_loop, codes_multi), "packed path diverged"
+    # RuntimeError, not assert: the agreement check IS the result (and
+    # must survive python -O); the JSON field is what the contract test
+    # pins
+    if not np.array_equal(codes_loop, codes_multi):
+        raise RuntimeError("packed path diverged from per-view dispatch")
 
     print(json.dumps({
         "mode": "point_cloud_dda", "n_views": n_views, "img_side": side,
         "per_view_s": round(t_loop, 2), "packed_s": round(t_multi, 2),
-        "speedup": round(t_loop / t_multi, 2),
+        "speedup": round(t_loop / t_multi, 2), "paths_agree": True,
     }))
 
     # --- mesh mode: serial loop vs thread pool over the rasterizer ---
@@ -98,6 +103,11 @@ def main():
     hull = ConvexHull(tri_pts)
     verts, hull_faces = tri_pts, hull.simplices
 
+    # warm one-time costs (native rasterizer load, first cKDTree build)
+    # out of the serial-vs-pool comparison
+    reprojection_filter(verts, hull_faces, cameras[:1],
+                        voxel_size=0.02, workers=0)
+
     t0 = time.perf_counter()
     _, _, m0 = reprojection_filter(verts, hull_faces, cameras,
                                    voxel_size=0.02, workers=0)
@@ -107,11 +117,12 @@ def main():
     _, _, m8 = reprojection_filter(verts, hull_faces, cameras,
                                    voxel_size=0.02, workers=8)
     t_pool = time.perf_counter() - t0
-    assert np.array_equal(m0, m8), "threaded mesh filter diverged"
+    if not np.array_equal(m0, m8):
+        raise RuntimeError("threaded mesh filter diverged from serial")
     print(json.dumps({
         "mode": "mesh_raster", "n_views": n_views, "img_side": side,
         "serial_s": round(t_serial, 2), "pool8_s": round(t_pool, 2),
-        "speedup": round(t_serial / t_pool, 2),
+        "speedup": round(t_serial / t_pool, 2), "paths_agree": True,
     }))
 
 

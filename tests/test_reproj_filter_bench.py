@@ -32,3 +32,7 @@ def test_filter_bench_contract():
     for rec in lines:
         assert rec["n_views"] == 8
         assert rec["speedup"] > 0
+        # the real correctness signal: both paths produced identical
+        # hit/visibility sets (the script raises otherwise and the JSON
+        # records it, surviving python -O)
+        assert rec["paths_agree"] is True
