@@ -174,6 +174,16 @@ _CN.TPU.FIELD_DTYPE = "float32"
 # MXU-shape-bound, not HBM-bound (BENCHMARKS.md). Kept as a verified
 # alternative mode; default off.
 _CN.TPU.FUSED_BG = False
+# > 0: evaluate the background NeRF at only this many coarse positions
+# along each ray (a static stride over the sorted fg z) PLUS the
+# N_OUTSIDE tail (always exact), expanding density/color to the full
+# sample set by nearest-index piecewise-constant interpolation before
+# compositing. The reference evaluates bg at ALL sorted fg z
+# (reference rendering/renderer.py:157-228) although the fg/bg merge
+# masks its contribution to zero at every inside-sphere sample — in the
+# steady (surface-guided) phase that is most of them. -1 = reference
+# behavior (evaluate everywhere). Quality-ablated (BENCHMARKS.md).
+_CN.TPU.BG_SAMPLES = -1
 # point-tile override for the fused field kernels (-1 = measured
 # per-width defaults). Tiles > 128 at d_hidden 512 need a raised
 # device scoped-VMEM limit (jit compiler_options

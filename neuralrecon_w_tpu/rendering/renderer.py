@@ -73,6 +73,9 @@ class RenderConfig(NamedTuple):
     # while_loop latency); 'dda' = exact traversal
     surface_query: str = "sampled"
     surface_query_samples: int = 1024
+    # > 0: bg NeRF evaluated at this many coarse positions + the
+    # n_outside tail, nearest-expanded to the full set (TPU.BG_SAMPLES)
+    bg_samples: int = -1
 
 
 class SceneInfo(NamedTuple):
@@ -135,6 +138,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         surface_query_samples=int(
             getattr(cfg.TPU, "SURFACE_QUERY_SAMPLES", 1024)
         ),
+        bg_samples=int(getattr(cfg.TPU, "BG_SAMPLES", -1)),
     )
 
 
@@ -305,21 +309,45 @@ def sparse_sampler(
 # ----------------------------- core passes -----------------------------
 
 
-def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a_embedded):
-    """NeRF++ background pass (reference rendering/renderer.py:157-228)."""
+def render_core_outside(params, fc, rcfg, rays_o, rays_d, z_vals, sample_dist, a_embedded,
+                        eval_idx=None):
+    """NeRF++ background pass (reference rendering/renderer.py:157-228).
+
+    ``eval_idx`` (static tuple of sample indices, from
+    RenderConfig.bg_samples) restricts the NeRF evaluation to a coarse
+    subset of the sorted positions; density/color are expanded back to
+    the full set by nearest-index piecewise-constant interpolation and
+    composited with the exact full-resolution dists. The contribution of
+    inside-sphere samples is masked to zero downstream (render_core), so
+    only the coarse approximation of the genuinely-outside samples —
+    whose tail indices are always in ``eval_idx`` exactly — is visible."""
     batch, n = z_vals.shape
     dists = jnp.diff(z_vals, axis=-1)
     dists = jnp.concatenate([dists, jnp.broadcast_to(sample_dist, (batch, 1))], axis=-1)
     mid_z = z_vals + dists * 0.5
 
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]
+    if eval_idx is not None and len(eval_idx) < n:
+        import numpy as np
+
+        ev = np.asarray(eval_idx)
+        k = len(eval_idx)
+        # static full-index -> nearest-evaluated-index map (free gather)
+        fmap = tuple(np.argmin(np.abs(np.arange(n)[:, None] - ev[None, :]), axis=1))
+        mid_eval = mid_z[:, ev]
+    else:
+        k, fmap, mid_eval = n, None, mid_z
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_eval[..., None]
     r = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
     pts4 = jnp.concatenate([pts / r, 1.0 / r], axis=-1).reshape(-1, 4)
 
     # dirs / appearance are per-ray constants (models/nerf_bg.py
     # n_samples path computes their head contribution at R rows)
     bg = _maybe_remat(field_background, getattr(rcfg, "remat_field", False))
-    density, color = bg(params, fc, pts4, rays_d, a_embedded, n)
+    density, color = bg(params, fc, pts4, rays_d, a_embedded, k)
+    if fmap is not None:
+        density = density.reshape(batch, k)[:, jnp.asarray(fmap)].reshape(-1, 1)
+        color = color.reshape(batch, k, 3)[:, jnp.asarray(fmap)].reshape(-1, 3)
     alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch, n)) * dists)
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones((batch, 1)), 1.0 - alpha + 1e-7], axis=-1), axis=-1
@@ -548,8 +576,22 @@ def render_rays(
         z_feed = merge_sorted(
             z_vals, jax.lax.stop_gradient(z_vals_outside)
         )
+        n_total = z_feed.shape[1]
+        eval_idx = None
+        if 0 < rcfg.bg_samples < n_total - rcfg.n_outside:
+            import numpy as np
+
+            # coarse static stride over all sorted positions + the
+            # n_outside tail exact (where the unmasked bg contribution
+            # composites); see TPU.BG_SAMPLES in config/defaults.py
+            coarse = np.round(
+                np.linspace(0, n_total - 1, rcfg.bg_samples)
+            ).astype(int)
+            tail = np.arange(n_total - rcfg.n_outside, n_total)
+            eval_idx = tuple(sorted(set(coarse.tolist()) | set(tail.tolist())))
         ret_out = render_core_outside(
-            params, fc, rcfg, rays_o, rays_d, z_feed, sample_dist, a_embedded
+            params, fc, rcfg, rays_o, rays_d, z_feed, sample_dist, a_embedded,
+            eval_idx=eval_idx,
         )
         background_sampled_color = ret_out["sampled_color"]
         background_alpha = ret_out["alpha"]

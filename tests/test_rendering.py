@@ -196,6 +196,66 @@ def test_render_rays_no_background():
     assert np.all(np.asarray(out["color_bg"]) == 0)
 
 
+def _render_with_bg_samples(bg_samples, rays, ts, labels):
+    params, fc, rcfg, scene, _ = small_setup()
+    rcfg = rcfg._replace(bg_samples=bg_samples)
+    return render_rays(params, fc, rcfg, scene, rays, ts, labels,
+                       jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
+
+
+def test_bg_samples_exact_when_fg_inside_sphere():
+    """TPU.BG_SAMPLES contract: the coarse bg approximation only touches
+    positions whose contribution render_core masks by (1 - inside_sphere)
+    (and trim_sphere for color_bg); with every fg sample inside the unit
+    sphere and the n_outside tail always evaluated exactly, EVERY visible
+    output must be bit-identical to the full evaluation."""
+    # scene radius 2, rays from (0,0,-3) along +z: normalized origin is
+    # (0,0,-1.5); sfm [near, far] = [2.2, 4.6] -> normalized [1.1, 2.3],
+    # points (0,0,-1.5+t) with |.| < 1 for t in (0.5, 2.5) -- all inside
+    r = 8
+    rays_o = np.tile(np.array([[0.0, 0.0, -3.0]]), (r, 1))
+    d = np.tile(np.array([[0.0, 0.0, 1.0]]), (r, 1))
+    rays = np.concatenate(
+        [rays_o, d, np.full((r, 1), 2.2), np.full((r, 1), 4.6)], -1
+    ).astype(np.float32)
+    rays, ts, labels = jnp.asarray(rays), jnp.zeros(r, jnp.int32), jnp.zeros(r, jnp.int32)
+
+    full = _render_with_bg_samples(-1, rays, ts, labels)
+    red = _render_with_bg_samples(4, rays, ts, labels)
+    assert np.all(np.asarray(full["inside_sphere"]) == 1.0), "fixture broke"
+    for key in ("color", "color_sphere", "color_bg", "weights_sum", "depth"):
+        np.testing.assert_array_equal(
+            np.asarray(full[key]), np.asarray(red[key]), err_msg=key)
+
+
+def test_bg_samples_general_rays_approximate_and_finite():
+    """On generic rays (fg samples straddling the sphere) the reduction is
+    an approximation: outputs stay finite, shaped, and close at init
+    (smooth random MLP along a short ray segment)."""
+    rays, ts, labels = make_rays(r=12)
+    full = _render_with_bg_samples(-1, rays, ts, labels)
+    red = _render_with_bg_samples(6, rays, ts, labels)
+    for key in ("color", "color_bg", "weights_sum"):
+        a, b = np.asarray(full[key]), np.asarray(red[key])
+        assert a.shape == b.shape
+        assert np.all(np.isfinite(b)), key
+        np.testing.assert_allclose(a, b, atol=0.08, err_msg=key)
+    # gradient still flows through the reduced bg evaluation
+    params, fc, rcfg, scene, _ = small_setup()
+    rcfg = rcfg._replace(bg_samples=6)
+
+    def loss_fn(p):
+        out = render_rays(p, fc, rcfg, scene, rays, ts, labels,
+                          jax.random.PRNGKey(0), 0.5)
+        return jnp.mean(out["color_bg"] ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    gnorm = float(
+        jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g["nerf_bg"])))
+    )
+    assert gnorm > 0
+
+
 def test_render_deterministic_when_perturb_zero():
     params, fc, rcfg, scene, _ = small_setup()
     rays, ts, labels = make_rays()
