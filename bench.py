@@ -204,9 +204,32 @@ def main():
                 make_train_step(fc, rcfg, lcfg, opt, anneal_end=50000),
                 donate_argnums=(0,), compiler_options=copts)
             state, phases["warmup"] = timed(step, state)
+    grid_stats = None
     if PHASE in ("steady", "both"):
         rcfg_fine = render_config_from_cfg(cfg, fine_level=FINE_LEVEL)
-        _, fine_grid = make_fine_grid(FINE_LEVEL)
+        host_grid, fine_grid = make_fine_grid(FINE_LEVEL)
+        # Self-description: band hit-rate + band-vs-interval width, so
+        # steady numbers are comparable across rounds and the synthetic
+        # grid geometry is auditable from the JSON alone.
+        from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far as _gnf
+
+        @jax.jit
+        def _stats_query(rays):
+            surf, _, hit = _gnf(fine_grid, FINE_LEVEL, rays[:, 0:3],
+                                rays[:, 3:6], first_only=True)
+            return surf, hit
+
+        _surf, _hit = map(np.asarray, _stats_query(batch["rays"]))
+        _rays = np.asarray(batch["rays"])
+        _interval = float((_rays[:, 7] - _rays[:, 6]).mean())
+        _band_w = 2.0 * rcfg_fine.sample_range * host_grid.voxel_size
+        grid_stats = {
+            "band_hit_rate": round(float(_hit.mean()), 4),
+            "band_width_sfm": round(_band_w, 4),
+            "band_frac_of_cached_interval": round(_band_w / _interval, 4),
+            "occupied_voxels": int(host_grid.coords.shape[0]),
+            "grid_level": FINE_LEVEL,
+        }
         if DISPATCH == "scan":
             pool = make_pool(SCAN_POOL_ROWS)
             if SURF_MODE == "cache":
@@ -275,16 +298,19 @@ def main():
                 state, phases["steady"] = timed(step, state, fine_grid, None)
 
     # headline = the phase the reference spends ~99% of training in
-    headline = phases.get("steady", phases.get("warmup"))
+    headline_phase = "steady" if "steady" in phases else "warmup"
+    headline = phases[headline_phase]
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "rays/s",
         "vs_baseline": round(headline / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "headline_phase": headline_phase,
         "phases": {k: round(v, 1) for k, v in phases.items()},
         "fine_level": FINE_LEVEL if "steady" in phases else None,
         "dispatch": DISPATCH,
         "surf_mode": SURF_MODE if "steady" in phases else None,
+        "grid_stats": grid_stats,
     }))
 
 
