@@ -42,9 +42,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_rays(mesh: Mesh, batch):
-    """Device_put a pytree of per-ray arrays with the batch axis sharded."""
+    """Shard a pytree of per-ray arrays over the data axis.
+
+    Single-process: a plain device_put. Multihost (the mesh spans
+    processes): each process contributes ITS batch as the local shard —
+    the global batch is the concatenation across processes, exactly the
+    reference's per-rank DataLoader semantics (reference
+    datasets/data.py:83-119) — via make_array_from_process_local_data
+    (device_put would instead require identical values on every
+    process)."""
     s = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if s.is_fully_addressable:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch,
+    )
 
 
 def field_param_specs(mesh: Mesh, params) -> dict:

@@ -33,12 +33,17 @@ def get_opts(argv=None):
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() before "
                              "touching devices: run this CLI once per "
-                             "host (SPMD), configured via the standard "
-                             "JAX env vars (COORDINATOR_ADDRESS, "
-                             "NUM_PROCESSES, PROCESS_ID) or the "
-                             "auto-detecting TPU-pod environment. The "
-                             "multi-GPU/multi-node role of the "
-                             "reference's 'ddp' launch (train.py:55)")
+                             "host (SPMD). On TPU pods / managed "
+                             "clusters initialization auto-detects; "
+                             "elsewhere pass --coordinator/"
+                             "--num_processes/--process_id explicitly "
+                             "(the rank args of the reference's 'ddp' "
+                             "launch, train.py:55)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (multihost "
+                             "outside auto-detecting clusters)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser.parse_args(argv)
 
 
@@ -51,7 +56,23 @@ def main(argv=None):
         # partitioned across processes (datasets/cache.local_split_names)
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
+        # establish the cross-process collective clique NOW, while every
+        # process is at the same point: later the first psum fires after
+        # each process independently jit-compiles the train step, and a
+        # compile-time skew larger than the transport's connect window
+        # (observed with gloo CPU collectives) would fail that first
+        # collective. Also fails fast on broken connectivity.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("neuralrecon_w_tpu:init")
 
     from ..config import get_cfg_defaults
     from ..parallel.mesh import make_mesh
@@ -61,8 +82,16 @@ def main(argv=None):
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.cfg_path)
 
-    cfg.TRAINER.TRUE_BATCH_SIZE = args.batch_size
-    cfg.TRAINER.LR = scaled_lr(cfg, args.batch_size)
+    # --batch_size is per process; the effective (world) batch that the
+    # LR linear-scaling rule sees multiplies by the process count, the
+    # reference's num_gpus*num_nodes*batch_size rule (train.py:21-25).
+    # Single-controller single-process runs shard the same global batch
+    # over local devices, so there the factor is 1.
+    import jax as _jax
+
+    world_batch = args.batch_size * _jax.process_count()
+    cfg.TRAINER.TRUE_BATCH_SIZE = world_batch
+    cfg.TRAINER.LR = scaled_lr(cfg, world_batch)
     if args.divide_lr and args.ckpt_path:
         cfg.TRAINER.LR = cfg.TRAINER.LR / args.lr_divisor
 

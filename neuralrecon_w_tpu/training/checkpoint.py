@@ -39,18 +39,24 @@ def save_checkpoint(
     tree = {"params": params, "step": np.asarray(step, np.int64)}
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    # orbax's save is a COLLECTIVE in multiprocess runs (it barriers on
+    # '<path>' and writes from the primary host): every process must
+    # call it, with the same shared path. The side files below are
+    # plain host writes — primary only.
     _checkpointer().save(path, jax.device_get(tree), force=True)
-    if fine_grid is not None:
-        np.savez_compressed(
-            os.path.join(path, "fine_grid.npz"),
-            level=fine_grid.level, origin=fine_grid.origin,
-            scale=fine_grid.scale, coords=fine_grid.coords,
-        )
-    if config_snapshot is not None:
-        snap = os.path.join(os.path.abspath(ckpt_dir), "config_snapshot.yaml")
-        if not os.path.exists(snap):
-            with open(snap, "w") as f:
-                f.write(config_snapshot)
+    if jax.process_index() == 0:
+        if fine_grid is not None:
+            np.savez_compressed(
+                os.path.join(path, "fine_grid.npz"),
+                level=fine_grid.level, origin=fine_grid.origin,
+                scale=fine_grid.scale, coords=fine_grid.coords,
+            )
+        if config_snapshot is not None:
+            snap = os.path.join(os.path.abspath(ckpt_dir),
+                                "config_snapshot.yaml")
+            if not os.path.exists(snap):
+                with open(snap, "w") as f:
+                    f.write(config_snapshot)
     return path
 
 

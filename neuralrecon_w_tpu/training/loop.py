@@ -72,6 +72,16 @@ class MetricsLogger:
                 self._tb.add_scalar(k, float(v), step)
 
 
+class NullLogger:
+    """Non-main processes in a multihost run log nowhere (the reference
+    logs through Lightning's rank-zero-only logger, train.py:38-42)."""
+
+    path = None
+
+    def log(self, step: int, scalars: dict):
+        pass
+
+
 @dataclass
 class TrainerConfig:
     batch_size: int = 2048
@@ -127,7 +137,12 @@ class Trainer:
 
         self.exp_dir = os.path.join(tcfg.save_dir, tcfg.exp_name)
         self.ckpt_dir = os.path.join(self.exp_dir, "checkpoints")
-        self.logger = MetricsLogger(os.path.join(self.exp_dir, "logs"))
+        # multihost: every process computes in lockstep (SPMD), but only
+        # process 0 writes artifacts — checkpoints, metrics, val images
+        # (the reference's rank_zero_only Lightning behavior)
+        self.is_main = jax.process_index() == 0
+        self.logger = (MetricsLogger(os.path.join(self.exp_dir, "logs"))
+                       if self.is_main else NullLogger())
 
         key = jax.random.PRNGKey(int(cfg.TRAINER.SEED))
         self.state = init_state(key, self.fc, self.opt)
@@ -340,6 +355,9 @@ class Trainer:
         return self._steps[key]
 
     def save(self, step: int):
+        # all processes must call: orbax's save is a collective in
+        # multihost runs (writes happen on the primary host only).
+        # Multihost therefore requires a SHARED save_dir.
         save_checkpoint(self.ckpt_dir, step, jax.device_get(self.state.params),
                         jax.device_get(self.state.opt_state),
                         fine_grid=self.fine_grid_host,
@@ -378,7 +396,9 @@ class Trainer:
             self._steps[key], self.state.params, self.scene, self._val_meta,
             val_id, chunk=self.tcfg.test_batch_size,
             fine_grid=self.fine_dgrid, sfm_grid=self.sfm_dgrid,
-            out_dir=os.path.join(self.exp_dir, "val"), step=step,
+            out_dir=(os.path.join(self.exp_dir, "val")
+                     if self.is_main else None),
+            step=step,
             mesh=val_mesh,
         )
         metrics.update(self._inline_mesh_eval(step))

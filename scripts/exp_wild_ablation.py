@@ -50,7 +50,7 @@ def build_scene(root, **kw):
 
 
 def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
-              dtype=None):
+              dtype=None, tpu=None):
     import yaml
 
     # the proven synthetic-convergence recipe (exp_synth_convergence.py:
@@ -78,8 +78,11 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
         "TRAINER": {"SAVE_FREQ": 100000, "VAL_FREQ": 1e9,
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
     }
+    tpu_node = dict(tpu or {})
     if dtype:
-        cfg["TPU"] = {"FIELD_DTYPE": dtype}
+        tpu_node["FIELD_DTYPE"] = dtype
+    if tpu_node:
+        cfg["TPU"] = tpu_node
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
