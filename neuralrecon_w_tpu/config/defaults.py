@@ -151,6 +151,12 @@ _CN.TPU.FUSED_SAMPLER_SDF = "auto"
 # pool in HBM and gather batches on device (with-replacement sampling;
 # removes the per-step host->device copy)
 _CN.TPU.DEVICE_POOL = "auto"
+# 'epoch' | 'replacement' — batch selection of the HBM-resident pool.
+# 'epoch' (default) = shuffled without-replacement epochs from a
+# device-resident permutation, the SAME data statistics as the host
+# RayPool and the reference's DataLoader(shuffle=True); 'replacement'
+# = stateless per-step randint gather (round-2's behavior).
+_CN.TPU.POOL_SAMPLING = "epoch"
 # steps fused per dispatch via lax.scan when the device pool is active
 # (single data shard); amortizes host dispatch latency
 _CN.TPU.SCAN_INNER = 50

@@ -195,13 +195,27 @@ class DeviceRayPool:
     per-shard (each device samples from its local rows), matching the
     reference's shard-assigned data parallelism semantics
     (reference datasets/data.py:83-119).
+
+    ``sampling``: 'epoch' (default) draws shuffled without-replacement
+    batches — the exact semantics of the host RayPool and the
+    reference's DataLoader(shuffle=True) — from a device-resident
+    per-epoch permutation (per shard on a mesh) advanced by a host-side
+    cursor; 'replacement' keeps the stateless per-step randint gather.
     """
 
-    def __init__(self, pool: RayPool, mesh=None):
+    def __init__(self, pool: RayPool, mesh=None, sampling: str = "epoch",
+                 seed: int = 0):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if sampling not in ("epoch", "replacement"):
+            raise ValueError(f"unknown sampling mode {sampling!r}")
+        self.sampling = sampling
+        self._seed = int(seed)
+        self._epoch_i = 0
+        self._cursor = 0
+        self._perm = None
         self.n = len(pool)
         self._mesh = mesh
         arrays = {
@@ -226,6 +240,77 @@ class DeviceRayPool:
             self.data = {k: jnp.asarray(v) for k, v in arrays.items()}
 
         self._gather = self._build_gather()
+        self._gather_epoch = self._build_gather_epoch()
+
+    def _shard_map(self):
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        return shard_map
+
+    def _reshuffle(self):
+        """New per-epoch permutation (per shard on a mesh), cursor to 0."""
+        import jax
+
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self._seed), self._epoch_i)
+        self._epoch_i += 1
+        self._cursor = 0
+        rows = self.rows_per_shard
+        if self._mesh is None:
+            self._perm = jax.jit(
+                lambda k: jax.random.permutation(k, rows))(key)
+            return
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        shard_map = self._shard_map()
+        mesh = self._mesh
+
+        def local_perm(k):
+            k = jax.random.fold_in(k[0], jax.lax.axis_index(DATA_AXIS))
+            return jax.random.permutation(k, rows)
+
+        self._perm = jax.jit(
+            lambda k: shard_map(local_perm, mesh=mesh, in_specs=P(None),
+                                out_specs=P(DATA_AXIS))(k[None])
+        )(key)
+
+    def _build_gather_epoch(self):
+        import jax
+
+        if self._mesh is None:
+            def gather(data, perm, start, batch_size: int):
+                idx = jax.lax.dynamic_slice_in_dim(perm, start[0], batch_size)
+                return {k: v[idx] for k, v in data.items()}
+
+            return jax.jit(gather, static_argnames=("batch_size",))
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        shard_map = self._shard_map()
+        mesh = self._mesh
+        n_shards = self.n_shards
+
+        def local_gather(data, perm, start, per_shard):
+            idx = jax.lax.dynamic_slice_in_dim(perm, start[0], per_shard)
+            return {k: v[idx] for k, v in data.items()}
+
+        def gather(data, perm, start, batch_size: int):
+            per_shard = batch_size // n_shards
+            return shard_map(
+                lambda d, p, s: local_gather(d, p, s, per_shard),
+                mesh=mesh,
+                in_specs=({k: P(DATA_AXIS) for k in data}, P(DATA_AXIS),
+                          P(None)),
+                out_specs={k: P(DATA_AXIS) for k in data},
+            )(data, perm, start)
+
+        return jax.jit(gather, static_argnames=("batch_size",))
 
     def _build_gather(self):
         import jax
@@ -269,9 +354,44 @@ class DeviceRayPool:
         return jax.jit(gather, static_argnames=("batch_size",))
 
     def next_batch(self, rng, batch_size: int) -> dict:
-        """Sampled-with-replacement on-device batch (RNG key in, arrays
-        stay on device)."""
-        return self._gather(self.data, rng, batch_size)
+        """On-device batch; arrays stay on device. 'epoch' mode draws
+        the next shuffled without-replacement window per shard (the rng
+        argument is ignored — epoch order comes from the pool seed);
+        'replacement' keeps the stateless RNG gather."""
+        if self.sampling == "replacement":
+            return self._gather(self.data, rng, batch_size)
+        import jax.numpy as jnp
+
+        per_shard = batch_size // self.n_shards
+        if self._perm is None or self._cursor + per_shard > self.rows_per_shard:
+            self._reshuffle()
+        out = self._gather_epoch(
+            self.data, self._perm,
+            jnp.asarray([self._cursor], jnp.int32), batch_size)
+        self._cursor += per_shard
+        return out
+
+    def take_scan_window(self, batch_size: int, n_inner: int):
+        """Reserve the next n_inner consecutive epoch batches for a
+        scan-fused dispatch: returns (perm, start) operands for
+        make_scan_train_fn. Single-data-shard pools only (matching the
+        scan dispatch's own constraint)."""
+        if self.sampling == "replacement":
+            return None, None
+        if self.n_shards != 1:
+            raise ValueError("take_scan_window requires a single-shard pool")
+        import jax.numpy as jnp
+
+        need = batch_size * n_inner
+        if need > self.rows_per_shard:
+            raise ValueError(
+                f"scan window {need} rows exceeds the {self.rows_per_shard}"
+                "-row pool; lower TPU.SCAN_INNER or the batch size")
+        if self._perm is None or self._cursor + need > self.rows_per_shard:
+            self._reshuffle()
+        start = self._cursor
+        self._cursor += need
+        return self._perm, jnp.asarray(start, jnp.int32)
 
     def attach_surface(self, grid, level: int, chunk: int = 1 << 18):
         """Precompute the surface-band first hit (exact DDA) for every

@@ -226,6 +226,11 @@ class Trainer:
 
     def fit(self, pool: RayPool | None = None, max_steps: int | None = None):
         pool = pool or self.load_rays()
+        if len(pool) == 0:
+            raise ValueError(
+                "ray pool is empty — the cache holds no rays (all rays may "
+                "have missed the scene voxels during cache generation); "
+                "check the workspace/splits under DATASET.ROOT_DIR")
         bs = self.tcfg.batch_size
         steps_per_epoch = max(pool.epoch_batches(bs), 1)
         total = self.tcfg.num_epochs * steps_per_epoch
@@ -247,7 +252,11 @@ class Trainer:
         if use_device_pool:
             from ..datasets.cache import DeviceRayPool
 
-            device_pool = DeviceRayPool(pool, self.mesh)
+            device_pool = DeviceRayPool(
+                pool, self.mesh,
+                sampling=str(getattr(self.cfg.TPU, "POOL_SAMPLING", "epoch")),
+                seed=int(self.cfg.TRAINER.SEED) + 3,
+            )
         self.device_pool = device_pool
         # resume past the first octree_update: band cache for the
         # restored fine grid
@@ -262,6 +271,12 @@ class Trainer:
             and device_pool.n_shards == 1
             and scan_inner > 1
         )
+        if use_scan and device_pool.sampling == "epoch":
+            # a scan window consumes scan_inner consecutive epoch
+            # batches; cap it so one window fits inside an epoch of a
+            # small pool (tiny fixtures), degrading to per-step below 2
+            scan_inner = min(scan_inner, device_pool.rows_per_shard // bs)
+            use_scan = scan_inner > 1
 
         t0 = time.time()
         profiling = False
@@ -301,9 +316,10 @@ class Trainer:
 
             if use_scan and room >= scan_inner:
                 run = self._get_scan_run(with_fine, bs, scan_inner)
+                perm, start = device_pool.take_scan_window(bs, scan_inner)
                 self.state, aux = run(
                     self.state, self.scene, device_pool.data, data_rng, rng,
-                    self.fine_dgrid, self.sfm_dgrid,
+                    self.fine_dgrid, self.sfm_dgrid, perm, start,
                 )
                 step_i += scan_inner
             else:

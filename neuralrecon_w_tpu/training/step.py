@@ -181,24 +181,36 @@ def make_scan_train_fn(
     shard_map outside; see datasets.cache.DeviceRayPool).
 
     Returns run(state, scene, pool_data, data_rng, rng, fine_grid,
-    sfm_grid) -> (state, last_aux).
+    sfm_grid, perm, start) -> (state, last_aux).
+
+    Batch selection: with (perm, start) operands — a device-resident
+    epoch permutation and a cursor from DeviceRayPool.take_scan_window —
+    inner step i consumes the contiguous permutation window
+    [start + i*batch, ...), i.e. the same shuffled without-replacement
+    epoch semantics as the host RayPool / the reference's
+    DataLoader(shuffle=True). With perm=None, a stateless
+    with-replacement randint gather keyed on the step counter.
     """
     step_fn = make_train_step(fc, rcfg, lcfg, optimizer, anneal_end,
                               ray_mask_ids)
 
     def run(state, scene, pool_data, data_rng, rng,
-            fine_grid=None, sfm_grid=None):
+            fine_grid=None, sfm_grid=None, perm=None, start=None):
         n_rows = pool_data["rays"].shape[0]
 
-        def body(carry, _):
+        def body(carry, i):
             st = carry
-            k = jax.random.fold_in(data_rng, st.step)
-            idx = jax.random.randint(k, (batch_size,), 0, n_rows)
+            if perm is None:
+                k = jax.random.fold_in(data_rng, st.step)
+                idx = jax.random.randint(k, (batch_size,), 0, n_rows)
+            else:
+                idx = jax.lax.dynamic_slice_in_dim(
+                    perm, start + i * batch_size, batch_size)
             batch = {key: v[idx] for key, v in pool_data.items()}
             st, aux = step_fn(st, scene, batch, rng, fine_grid, sfm_grid)
             return st, aux
 
-        state, auxs = jax.lax.scan(body, state, None, length=n_inner)
+        state, auxs = jax.lax.scan(body, state, jnp.arange(n_inner))
         last = jax.tree.map(lambda x: x[-1], auxs)
         return state, last
 

@@ -2,6 +2,8 @@
 step (8 virtual CPU devices via conftest), sweeps, surface refinement,
 checkpoint round-trip."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -383,6 +385,116 @@ def test_device_ray_pool():
         src = set(map(tuple, np.round(pool.rays, 5)))
         for row in np.asarray(b["rays"])[:16]:
             assert tuple(np.round(row, 5)) in src
+
+
+def test_device_ray_pool_epoch_semantics():
+    """'epoch' sampling covers every pool row exactly once per epoch
+    (per shard on a mesh) — the host RayPool / reference
+    DataLoader(shuffle=True) statistics, produced on device."""
+    from neuralrecon_w_tpu.datasets.cache import DeviceRayPool, RayPool
+
+    n, bs = 512, 64
+    rays = np.random.RandomState(0).rand(n, 12).astype(np.float32)
+    rays[:, 0] = np.arange(n)  # row id rides in o_x
+    rgbs = np.random.RandomState(1).rand(n, 3).astype(np.float32)
+    pool = RayPool(rays, rgbs)
+    for m in [None, make_mesh()]:
+        dp = DeviceRayPool(pool, m, sampling="epoch", seed=5)
+        epoch1 = [np.asarray(dp.next_batch(None, bs)["rays"][:, 0])
+                  for _ in range(n // bs)]
+        ids = np.concatenate(epoch1).astype(int)
+        assert len(ids) == n and len(set(ids.tolist())) == n
+        # the next epoch reshuffles: same coverage, different order
+        epoch2 = [np.asarray(dp.next_batch(None, bs)["rays"][:, 0])
+                  for _ in range(n // bs)]
+        ids2 = np.concatenate(epoch2).astype(int)
+        assert len(set(ids2.tolist())) == n
+        assert not np.array_equal(ids, ids2)
+
+
+def test_device_ray_pool_scan_window():
+    """take_scan_window hands the scan dispatch disjoint consecutive
+    epoch windows; crossing the epoch boundary reshuffles."""
+    from neuralrecon_w_tpu.datasets.cache import DeviceRayPool, RayPool
+
+    n = 512
+    rays = np.random.RandomState(0).rand(n, 12).astype(np.float32)
+    rgbs = np.random.RandomState(1).rand(n, 3).astype(np.float32)
+    dp = DeviceRayPool(RayPool(rays, rgbs), None, sampling="epoch")
+    perm, start = dp.take_scan_window(64, 4)
+    perm2, start2 = dp.take_scan_window(64, 4)
+    assert int(start) == 0 and int(start2) == 256
+    assert perm2 is perm  # same epoch
+    window = np.asarray(perm[:512]).astype(int)
+    assert len(set(window.tolist())) == n  # a permutation: all disjoint
+    # 256 rows left < 512 needed -> reshuffle, cursor back to 0
+    perm3, start3 = dp.take_scan_window(64, 8)
+    assert int(start3) == 0 and not np.array_equal(np.asarray(perm3), np.asarray(perm))
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp.take_scan_window(64, 9)  # window larger than the pool
+
+
+def test_trainer_scan_dispatch_with_device_pool(tmp_path):
+    """The production TPU dispatch path (HBM-resident pool + scan-fused
+    steps + epoch sampling) on the CPU mesh: steps advance by scan
+    windows, loss finite, epoch windows drawn without replacement."""
+    import yaml
+
+    from neuralrecon_w_tpu.testing import make_synthetic_scene
+    from neuralrecon_w_tpu.tools.prepare_data.prepare_data_cache import (
+        main as cache_main,
+    )
+    from neuralrecon_w_tpu.tools.prepare_data.prepare_data_split import (
+        main as split_main,
+    )
+    from neuralrecon_w_tpu.tools.train_cli import main as train_main
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    make_synthetic_scene(root, n_images=6, n_test=1, img_wh=(40, 30))
+    split_main(["--root_dir", root, "--num_test", "1",
+                "--roi_threshold", "0.3", "--static_threshold", "0.3"])
+    cache_main(["--root_dir", root, "--split_to_chunks", "4"])
+    cfg = {
+        "NEUCONW": {
+            "N_SAMPLES": 4, "N_IMPORTANCE": 4, "UP_SAMPLE_STEP": 1,
+            "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
+            "SAMPLE_RANGE": 4, "N_VOCAB": 16, "ANNEAL_END": 100,
+            "UPDATE_FREQ": 1000, "TRAIN_VOXEL_SIZE": 0.12,
+            "SDF_CONFIG": {"d_hidden": 48, "d_out": 49, "n_layers": 2,
+                           "skip_in": [1]},
+            "COLOR_CONFIG": {"d_feature": 48, "d_hidden": 16, "n_layers": 1,
+                             "head_channels": 8},
+        },
+        "DATASET": {"ROOT_DIR": root, "DATASET_NAME": "phototourism",
+                    "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
+        "TRAINER": {"SAVE_FREQ": 1000, "VAL_FREQ": 1000.0,
+                    "CANONICAL_LR": 1e-3, "CANONICAL_BS": 512},
+        # force the TPU production dispatch on the CPU mesh: device
+        # pool (n_devices=1 keeps it single-shard) + scan fusion
+        "TPU": {"DEVICE_POOL": True, "SCAN_INNER": 3},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    trainer = train_main([
+        "--cfg_path", cfg_path, "--batch_size", "64",
+        "--test_batch_size", "64", "--num_epochs", "100",
+        "--max_steps", "6", "--exp_name", "scan", "--n_devices", "1",
+        "--save_dir", str(tmp_path / "run"),
+    ])
+    assert int(trainer.state.step) == 6
+    assert trainer.device_pool is not None
+    assert trainer.device_pool.sampling == "epoch"
+    # two scan windows of 3 x 64 rays consumed without replacement
+    assert trainer.device_pool._cursor > 0
+    log = os.path.join(str(tmp_path / "run"), "scan", "logs", "metrics.jsonl")
+    import json
+
+    rows = [json.loads(l) for l in open(log)]
+    assert rows and all(np.isfinite(r["loss"]) for r in rows)
 
 
 def test_local_split_names_partition(tmp_path):
