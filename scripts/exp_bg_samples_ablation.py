@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--bg_samples", type=str, default="-1,4",
                     help="comma list of TPU.BG_SAMPLES settings")
+    ap.add_argument("--boundary_samples", type=str, default="10",
+                    help="comma list of NEUCONW.BOUNDARY_SAMPLES settings "
+                         "(reference budget is 10; reduced settings are the "
+                         "steady-phase fg-sample lever)")
     args = ap.parse_args()
 
     base = args.out_dir or tempfile.mkdtemp(prefix="bg_ablation_")
@@ -45,26 +49,32 @@ def main():
     print(f"workdir: {base}", file=sys.stderr)
 
     settings = [int(x) for x in args.bg_samples.split(",")]
+    boundaries = [int(x) for x in args.boundary_samples.split(",")]
     results = []
     for scene_tag, scene_kw in (("clean", {}),
                                 ("jitter", {"appearance_jitter": args.jitter})):
         root = os.path.join(base, f"scene_{scene_tag}")
         info = build_scene(root, seed=0, **scene_kw)
         for k in settings:
-            tag = f"{scene_tag}_bg{k}"
-            cfg = write_cfg(os.path.join(base, f"cfg_{tag}.yaml"), root,
-                            dtype="bfloat16", tpu={"BG_SAMPLES": k})
-            rec = run_one(tag, cfg, info, args.steps, base, batch=args.batch)
-            rec["bg_samples"] = k
-            rec["scene"] = scene_tag
-            results.append(rec)
+            for b in boundaries:
+                tag = f"{scene_tag}_bg{k}" + ("" if b == 10 else f"_bd{b}")
+                cfg = write_cfg(
+                    os.path.join(base, f"cfg_{tag}.yaml"), root,
+                    dtype="bfloat16", tpu={"BG_SAMPLES": k},
+                    neuconw=None if b == 10 else {"BOUNDARY_SAMPLES": b})
+                rec = run_one(tag, cfg, info, args.steps, base,
+                              batch=args.batch)
+                rec["bg_samples"] = k
+                rec["boundary_samples"] = b
+                rec["scene"] = scene_tag
+                results.append(rec)
 
-    print("\n| scene | BG_SAMPLES | psnr | F@0.05 | F@0.1 | d_pred2gt | d_gt2pred |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| scene | BG_SAMPLES | BOUNDARY | psnr | F@0.05 | F@0.1 | d_pred2gt | d_gt2pred |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in results:
-        print(f"| {r['scene']} | {r['bg_samples']} | {r['psnr']} | "
-              f"{r.get('f05')} | {r.get('f10')} | {r.get('dist_pred2gt')} | "
-              f"{r.get('dist_gt2pred')} |")
+        print(f"| {r['scene']} | {r['bg_samples']} | {r['boundary_samples']} "
+              f"| {r['psnr']} | {r.get('f05')} | {r.get('f10')} | "
+              f"{r.get('dist_pred2gt')} | {r.get('dist_gt2pred')} |")
     with open(os.path.join(base, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)
 

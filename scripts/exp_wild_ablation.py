@@ -50,7 +50,7 @@ def build_scene(root, **kw):
 
 
 def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
-              dtype=None, tpu=None):
+              dtype=None, tpu=None, neuconw=None):
     import yaml
 
     # the proven synthetic-convergence recipe (exp_synth_convergence.py:
@@ -78,6 +78,7 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
         "TRAINER": {"SAVE_FREQ": 100000, "VAL_FREQ": 1e9,
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
     }
+    cfg["NEUCONW"].update(neuconw or {})
     tpu_node = dict(tpu or {})
     if dtype:
         tpu_node["FIELD_DTYPE"] = dtype
