@@ -52,11 +52,16 @@ def test_hand_vjp_matches_jax_grad(skip):
     c_out = jnp.asarray(rs.randn(12, 16).astype(np.float32))
     c_grad = jnp.asarray(rs.randn(12, 3).astype(np.float32))
 
-    res = forward_with_residuals(weights, biases, skip, multires, scale, x)
-    dWs, dbs, dx = backward(weights, biases, skip, multires, scale, res,
-                            c_out, c_grad)
-    oW, ob, ox = oracle(weights, biases, skip, multires, scale, x,
-                        c_out, c_grad)
+    # jit each stage: one whole-graph compile per stage beats eager
+    # per-op compilation on the CPU test backend
+    res = jax.jit(lambda w, b, p: forward_with_residuals(
+        w, b, skip, multires, scale, p))(weights, biases, x)
+    dWs, dbs, dx = jax.jit(lambda w, b, r, co, cg: backward(
+        w, b, skip, multires, scale, r, co, cg))(
+            weights, biases, res, c_out, c_grad)
+    oW, ob, ox = jax.jit(lambda w, b, p, co, cg: oracle(
+        w, b, skip, multires, scale, p, co, cg))(
+            weights, biases, x, c_out, c_grad)
 
     np.testing.assert_allclose(np.asarray(dx), np.asarray(ox),
                                rtol=1e-4, atol=1e-4)

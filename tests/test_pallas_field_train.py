@@ -51,7 +51,9 @@ def setup():
     col_w = tuple(cw[nm][0] for nm in NAMES)
     col_b = tuple(cw[nm][1] for nm in NAMES)
 
-    n = 40
+    # 2 tiles of 8 exercise the tile loop; more points only pay
+    # interpret-mode overhead on the CPU test backend
+    n = 16
     pts = mk((n, 3), 0.4)
     dirs0 = rs.randn(n, 3).astype(np.float32)
     dirs = jnp.asarray(dirs0 / np.linalg.norm(dirs0, axis=-1, keepdims=True))

@@ -311,14 +311,17 @@ def test_full_render_parity(ref_renderer, phase):
     ours.field_forward, ours.field_sdf, ours.field_background = (
         field_forward_stub, field_sdf_stub, bg_stub)
     try:
-        out = ours.render_rays(
-            params, None, rcfg, scene, jnp.asarray(rays),
+        # jit: whole-graph compile beats first-call eager per-op
+        # compilation on the CPU test backend (the analytic stubs are
+        # jnp-traceable)
+        out = jax.jit(lambda p: ours.render_rays(
+            p, None, rcfg, scene, jnp.asarray(rays),
             jnp.asarray(ts.astype(np.int32)),
             jnp.asarray(labels.astype(np.int32)),
             jax.random.PRNGKey(0), 0.37,
             fine_grid=fine_grid, surf_cache=surf_cache,
             perturb_overwrite=0.0,
-        )
+        ))(params)
     finally:
         ours.field_forward, ours.field_sdf, ours.field_background = saved
 

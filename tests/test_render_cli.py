@@ -28,7 +28,7 @@ def render_setup(tmp_path_factory):
 
     cfg_dict = {
         "NEUCONW": {
-            "N_SAMPLES": 8, "N_IMPORTANCE": 8, "UP_SAMPLE_STEP": 2,
+            "N_SAMPLES": 8, "N_IMPORTANCE": 4, "UP_SAMPLE_STEP": 1,
             "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
             "SAMPLE_RANGE": 4, "N_VOCAB": 16, "NEAR_FAR_OVERRIDE": True,
             "SDF_CONFIG": {"d_hidden": 32, "d_out": 33, "n_layers": 2,
@@ -179,6 +179,9 @@ def _sharded_setup(cfg_path, ckpt_path):
     return render_chunk, params, scene, rays10, ts, labels, (w, h), kw
 
 
+_sharded_single_cache = {}
+
+
 def _assert_sharded_parity(render_setup, mesh_kwargs):
     import numpy as np
 
@@ -188,8 +191,12 @@ def _assert_sharded_parity(render_setup, mesh_kwargs):
     cfg_path, ckpt_path, _ = render_setup
     (render_chunk, params, scene, rays10, ts, labels, wh,
      kw) = _sharded_setup(cfg_path, ckpt_path)
-    single = render_image(render_chunk, params, scene, rays10, ts, labels,
-                          wh, **kw)
+    # the single-device reference render is identical across the mesh
+    # variants; compute it once per session
+    if "single" not in _sharded_single_cache:
+        _sharded_single_cache["single"] = render_image(
+            render_chunk, params, scene, rays10, ts, labels, wh, **kw)
+    single = _sharded_single_cache["single"]
     mesh = make_mesh(**mesh_kwargs)
     sharded = render_image(render_chunk, params, scene, rays10, ts, labels,
                            wh, mesh=mesh, **kw)

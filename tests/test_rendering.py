@@ -169,19 +169,16 @@ def test_sampler_sorted_when_band_exceeds_near_far():
     # boundary blocks descending
     near = jnp.full((rays.shape[0], 1), 1.45)
     far = jnp.full((rays.shape[0], 1), 1.55)
-    z, z_out, sd = sparse_sampler(
-        params, fc, rcfg, scene, rays_o, rays[:, 3:6], near, far,
+    jsampler = jax.jit(lambda n, f: sparse_sampler(
+        params, fc, rcfg, scene, rays_o, rays[:, 3:6], n, f,
         jax.random.PRNGKey(0), grid, None, 1.0,
-    )
+    ))
+    z, z_out, sd = jsampler(near, far)
     dz = np.diff(np.asarray(z), axis=-1)
     assert np.all(dz >= 0), f"unsorted z_vals: min spacing {dz.min()}"
     # wide bracket: band starts after near and ends before far ->
     # ascending blocks (the old fast path) still sorted
-    z2, _, _ = sparse_sampler(
-        params, fc, rcfg, scene, rays_o, rays[:, 3:6],
-        jnp.full_like(near, 0.05), jnp.full_like(far, 4.0),
-        jax.random.PRNGKey(0), grid, None, 1.0,
-    )
+    z2, _, _ = jsampler(jnp.full_like(near, 0.05), jnp.full_like(far, 4.0))
     dz2 = np.diff(np.asarray(z2), axis=-1)
     assert np.all(dz2 >= 0), f"unsorted z_vals: min spacing {dz2.min()}"
 
@@ -190,8 +187,8 @@ def test_render_rays_no_background():
     params, fc, rcfg, scene, _ = small_setup(n_outside=0)
     rcfg = rcfg._replace(n_outside=0, render_bg=False)
     rays, ts, labels = make_rays()
-    out = render_rays(params, fc, rcfg, scene, rays, ts, labels,
-                      jax.random.PRNGKey(0), 1.0)
+    out = jax.jit(lambda p: render_rays(p, fc, rcfg, scene, rays, ts, labels,
+                                        jax.random.PRNGKey(0), 1.0))(params)
     assert out["weights"].shape == (rays.shape[0], 16)
     assert np.all(np.asarray(out["color_bg"]) == 0)
 
@@ -199,8 +196,12 @@ def test_render_rays_no_background():
 def _render_with_bg_samples(bg_samples, rays, ts, labels):
     params, fc, rcfg, scene, _ = small_setup()
     rcfg = rcfg._replace(bg_samples=bg_samples)
-    return render_rays(params, fc, rcfg, scene, rays, ts, labels,
-                       jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
+    # jit: one whole-graph compile is ~4x cheaper than first-call eager
+    # per-op compilation on the CPU test backend
+    fn = jax.jit(lambda p, r, t, l: render_rays(
+        p, fc, rcfg, scene, r, t, l, jax.random.PRNGKey(0), 0.5,
+        perturb_overwrite=0.0))
+    return fn(params, rays, ts, labels)
 
 
 def test_bg_samples_exact_when_fg_inside_sphere():
@@ -249,7 +250,7 @@ def test_bg_samples_general_rays_approximate_and_finite():
                           jax.random.PRNGKey(0), 0.5)
         return jnp.mean(out["color_bg"] ** 2)
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     gnorm = float(
         jnp.sqrt(sum(jnp.sum(x * x) for x in jax.tree.leaves(g["nerf_bg"])))
     )
@@ -259,10 +260,11 @@ def test_bg_samples_general_rays_approximate_and_finite():
 def test_render_deterministic_when_perturb_zero():
     params, fc, rcfg, scene, _ = small_setup()
     rays, ts, labels = make_rays()
-    o1 = render_rays(params, fc, rcfg, scene, rays, ts, labels,
-                     jax.random.PRNGKey(0), 0.5, perturb_overwrite=0.0)
-    o2 = render_rays(params, fc, rcfg, scene, rays, ts, labels,
-                     jax.random.PRNGKey(42), 0.5, perturb_overwrite=0.0)
+    fn = jax.jit(lambda key: render_rays(
+        params, fc, rcfg, scene, rays, ts, labels, key, 0.5,
+        perturb_overwrite=0.0))
+    o1 = fn(jax.random.PRNGKey(0))
+    o2 = fn(jax.random.PRNGKey(42))
     np.testing.assert_allclose(np.asarray(o1["color"]), np.asarray(o2["color"]), rtol=1e-6)
 
 

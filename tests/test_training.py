@@ -159,7 +159,9 @@ def test_jit_train_step_multidevice():
     sc = scene()
 
     s0 = init_state(jax.random.PRNGKey(0), fc, opt)
-    s1, aux1 = step(s0, sc, batch, rng)
+    # jit the single-device reference too: one whole-graph compile beats
+    # eager per-op compilation of the full fwd+bwd graph by ~10x on CPU
+    s1, aux1 = jax.jit(step)(s0, sc, batch, rng)
     s0b = init_state(jax.random.PRNGKey(0), fc, opt)
     s2, aux2 = jstep(s0b, sc, batch, rng, None, None)
     np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-4)
