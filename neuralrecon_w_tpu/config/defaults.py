@@ -190,6 +190,14 @@ _CN.TPU.FUSED_BG = False
 # steady (surface-guided) phase that is most of them. -1 = reference
 # behavior (evaluate everywhere). Quality-ablated (BENCHMARKS.md).
 _CN.TPU.BG_SAMPLES = -1
+# >= 0: override NEUCONW.BOUNDARY_SAMPLES in the steady (surface-guided)
+# phase. The reference pads the surface band with 10 extra full-field
+# samples split between [near, band) and (band, far] "to ensure boundary
+# doesn't have noisy surface" (reference rendering/renderer.py:549-567);
+# they dominate the steady-phase fg cost (each boundary sample runs the
+# full SDF-with-gradient + color stack). -1 = reference budget.
+# Quality-ablated like BG_SAMPLES (BENCHMARKS.md).
+_CN.TPU.BOUNDARY_SAMPLES = -1
 # point-tile override for the fused field kernels (-1 = measured
 # per-width defaults). Tiles > 128 at d_hidden 512 need a raised
 # device scoped-VMEM limit (jit compiler_options

@@ -111,13 +111,17 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
     lid = get_label_id_mapping()
     mesh_ids = tuple(lid[x] for x in n.MESH_MASK_LIST) if n.MESH_MASK_LIST else None
     floor_ids = tuple(lid[x] for x in (n.FLOOR_LABELS or []))
+    # TPU operating point: reduced band-boundary budget (see
+    # config/defaults.py TPU.BOUNDARY_SAMPLES; quality-ablated)
+    tpu_boundary = int(getattr(cfg.TPU, "BOUNDARY_SAMPLES", -1))
+    boundary = tpu_boundary if tpu_boundary >= 0 else int(n.BOUNDARY_SAMPLES)
     return RenderConfig(
         n_samples=int(n.N_SAMPLES),
         n_importance=int(n.N_IMPORTANCE),
         up_sample_steps=int(n.UP_SAMPLE_STEP),
         n_outside=int(n.N_OUTSIDE),
         s_val_base=int(n.S_VAL_BASE),
-        boundary_samples=int(n.BOUNDARY_SAMPLES),
+        boundary_samples=boundary,
         sample_range=int(n.SAMPLE_RANGE),
         perturb=float(n.PERTURB if perturb is None else perturb),
         render_bg=bool(n.RENDER_BG),

@@ -19,4 +19,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: tests re-jit fresh closures around the
+# SAME graphs (every render_cli invocation, every jit_train_step build),
+# so even a cold `pytest -q` run deduplicates repeat compiles via the
+# disk cache. Harmless if the dir is wiped between runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/nw_tpu_test_compcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

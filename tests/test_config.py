@@ -64,3 +64,17 @@ def test_merge_from_list():
     cfg.merge_from_list(["NEUCONW.N_SAMPLES", "16", "TRAINER.LR", 5e-4])
     assert cfg.NEUCONW.N_SAMPLES == 16
     assert cfg.TRAINER.LR == pytest.approx(5e-4)
+
+
+def test_tpu_boundary_samples_override():
+    """TPU.BOUNDARY_SAMPLES >= 0 overrides the reference budget in the
+    render config; -1 (default) keeps NEUCONW.BOUNDARY_SAMPLES."""
+    from neuralrecon_w_tpu.rendering import render_config_from_cfg
+
+    cfg = get_cfg_defaults()
+    cfg.NEUCONW.BOUNDARY_SAMPLES = 10
+    assert render_config_from_cfg(cfg).boundary_samples == 10
+    cfg.TPU.BOUNDARY_SAMPLES = 4
+    assert render_config_from_cfg(cfg).boundary_samples == 4
+    cfg.TPU.BOUNDARY_SAMPLES = 0
+    assert render_config_from_cfg(cfg).boundary_samples == 0

@@ -90,8 +90,10 @@ def test_forward_matches_reference_sdf():
     biases = [params[f"lin{l}"]["b"] for l in range(5)]
 
     x = jnp.asarray(np.random.RandomState(2).randn(10, 3).astype(np.float32) * 0.4)
-    res = forward_with_residuals(weights, biases, (2,), 4, 1.5, x)
-    sdf_ref, feat_ref, grad_ref = sdf_value_feat_grad(params, cfg, x)
+    res = jax.jit(lambda w, b, p: forward_with_residuals(
+        w, b, (2,), 4, 1.5, p))(weights, biases, x)
+    sdf_ref, feat_ref, grad_ref = jax.jit(
+        lambda p, xx: sdf_value_feat_grad(p, cfg, xx))(params, x)
     np.testing.assert_allclose(np.asarray(res["out"][:, 0] / 1.5),
                                np.asarray(sdf_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res["grad"]),

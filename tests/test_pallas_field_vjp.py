@@ -19,10 +19,12 @@ CFG = dict(d_in=3, d_out=129, d_hidden=128, n_layers=4, skip_in=(2,),
 def setup():
     params = init_sdf(jax.random.PRNGKey(0), CFG)
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.randn(40, 3).astype(np.float32) * 0.5)
-    cots = (jnp.asarray(rs.randn(40).astype(np.float32)),
-            jnp.asarray(rs.randn(40, 128).astype(np.float32)),
-            jnp.asarray(rs.randn(40, 3).astype(np.float32)))
+    # 2 tiles of 16 (one padded) exercise the tile loop + padding; more
+    # points only pay interpret-mode overhead on the CPU test backend
+    x = jnp.asarray(rs.randn(24, 3).astype(np.float32) * 0.5)
+    cots = (jnp.asarray(rs.randn(24).astype(np.float32)),
+            jnp.asarray(rs.randn(24, 128).astype(np.float32)),
+            jnp.asarray(rs.randn(24, 3).astype(np.float32)))
     return params, x, cots
 
 

@@ -71,7 +71,8 @@ def test_bg_kernel_through_field_background():
     cfg.NEUCONW.N_VOCAB = 8
     fc = field_config_from_cfg(cfg)
     params = init_field(jax.random.PRNGKey(0), fc)
-    pts4, dirs, a, _, _ = _inputs(29, seed=3)
+    # one padded tile of 16: exercises padding at minimum interpret cost
+    pts4, dirs, a, _, _ = _inputs(9, seed=3)
 
     d0, r0 = field_background(params, fc, pts4, dirs, a)
     orig = B._make_bg_custom

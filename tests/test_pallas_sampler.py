@@ -30,7 +30,9 @@ def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip, layout):
         act_dtype = "float32"
 
     params = {"neuconw": {"sdf": params_sdf}}
-    R, n0, n_imp, steps, s_base = 48, 8, 16, 2, 3
+    # 16 rays keep the parity meaningful; the interpret-mode kernel and
+    # the eager jnp reference both scale with R on the CPU test backend
+    R, n0, n_imp, steps, s_base = 16, 8, 16, 2, 3
     rs = np.random.RandomState(0)
     o = (rs.randn(R, 3) * 0.1 + [0, 0, 0.9]).astype(np.float32)
     d = -o + rs.randn(R, 3).astype(np.float32) * 0.05
@@ -48,7 +50,8 @@ def test_fused_sampler_matches_jnp(d_hidden, d_out, n_layers, skip, layout):
                                      last=(i + 1 == steps))
         return z_vals
 
-    ref = np.asarray(jnp_importance(jnp.asarray(o), jnp.asarray(d), jnp.asarray(z)))
+    ref = np.asarray(jax.jit(jnp_importance)(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(z)))
     out = np.asarray(fused_importance_sampler(
         params_sdf, items, jnp.asarray(o), jnp.asarray(d), jnp.asarray(z),
         n_imp, steps, s_base, tile=16, interpret=True, layout=layout,

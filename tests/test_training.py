@@ -37,7 +37,10 @@ def tiny_cfg():
     n = cfg.NEUCONW
     n.N_SAMPLES = 4
     n.N_IMPORTANCE = 4
-    n.UP_SAMPLE_STEP = 2
+    # one importance round: halves the unrolled sampler graph (CPU
+    # compile budget); two-round coverage lives in the rendering and
+    # sampler-parity suites
+    n.UP_SAMPLE_STEP = 1
     n.N_OUTSIDE = 2
     n.BOUNDARY_SAMPLES = 2
     n.N_VOCAB = 8
@@ -462,7 +465,11 @@ def test_trainer_scan_dispatch_with_device_pool(tmp_path):
     cfg = {
         "NEUCONW": {
             "N_SAMPLES": 4, "N_IMPORTANCE": 4, "UP_SAMPLE_STEP": 1,
-            "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
+            # no bg chain: this test targets pool/scan dispatch
+            # semantics; the bg path is covered by the rendering and
+            # multidevice suites (CPU compile budget)
+            "RENDER_BG": False,
+            "N_OUTSIDE": 0, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
             "SAMPLE_RANGE": 4, "N_VOCAB": 16, "ANNEAL_END": 100,
             "UPDATE_FREQ": 1000, "TRAIN_VOXEL_SIZE": 0.12,
             "SDF_CONFIG": {"d_hidden": 48, "d_out": 49, "n_layers": 2,
