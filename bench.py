@@ -40,6 +40,15 @@ ITERS = int(os.environ.get("NW_BENCH_ITERS", 30))
 # we bench one level harder).
 FINE_LEVEL = int(os.environ.get("NW_BENCH_FINE_LEVEL", 10))
 PHASE = os.environ.get("NW_BENCH_PHASE", "both")  # warmup | steady | both
+# The production TPU operating point for the steady (headline) phase:
+# quality-ablated deviations from the reference budget, all in the TPU
+# config namespace (BENCHMARKS.md round-3 ablation table). Empty dict =
+# reference budget. When non-empty, bench.py ALSO measures the steady
+# phase at the reference budget and reports it as
+# phases.steady_reference_budget so both numbers stay auditable.
+OPERATING_POINT = {}
+if os.environ.get("NW_BENCH_OPERATING_POINT", "") == "tpu":
+    OPERATING_POINT = {"BG_SAMPLES": 4, "BOUNDARY_SAMPLES": 4}
 # 'cache' = production path (pool-wide band precompute amortized over
 # UPDATE_FREQ steps); 'query' = per-step in-step grid query (what
 # validation renders and host-pool training pay)
@@ -230,6 +239,19 @@ def main():
             "occupied_voxels": int(host_grid.coords.shape[0]),
             "grid_level": FINE_LEVEL,
         }
+        # Steady variants: the production operating point is the
+        # headline; when it deviates from the reference budget, the
+        # reference-budget step is measured in the same run so the two
+        # stay auditable side by side.
+        if OPERATING_POINT:
+            cfg_op = cfg.clone()
+            for k, v in OPERATING_POINT.items():
+                setattr(cfg_op.TPU, k, v)
+            rcfg_op = render_config_from_cfg(cfg_op, fine_level=FINE_LEVEL)
+            variants = [("steady", rcfg_op),
+                        ("steady_reference_budget", rcfg_fine)]
+        else:
+            variants = [("steady", rcfg_fine)]
         if DISPATCH == "scan":
             pool = make_pool(SCAN_POOL_ROWS)
             if SURF_MODE == "cache":
@@ -256,15 +278,13 @@ def main():
                 pool = dict(pool, surf_t=surf, surf_hit=hit)
             else:  # in-step grid query inside every scanned step
                 amortized = 0.0
-            dt, n_rays = timed_scan(rcfg_fine, pool, fine_grid, None)
             n_steps = ITERS * N_INNER
-            phases["steady"] = n_rays / (dt + n_steps * amortized)
+            for name, rc in variants:
+                dt, n_rays = timed_scan(rc, pool, fine_grid, None)
+                phases[name] = n_rays / (dt + n_steps * amortized)
             if SURF_MODE == "cache":
                 phases["steady_refresh_ms_per_step"] = amortized * 1e3
         else:
-            step = jax.jit(
-                make_train_step(fc, rcfg_fine, lcfg, opt, anneal_end=50000),
-                donate_argnums=(0,), compiler_options=copts)
             if SURF_MODE == "cache":
                 # production steady-state path: the trainer precomputes
                 # the surface band for the whole HBM-resident pool once
@@ -290,12 +310,20 @@ def main():
                 t_query = (time.perf_counter() - t0) / 5
                 amortized = t_query * (POOL_ROWS / BATCH) / UPDATE_FREQ
                 cbatch = dict(batch, surf_t=surf, surf_hit=hit)
-                state, phases["steady"] = timed(
-                    step, state, fine_grid, None, batch_arrays=cbatch,
-                    extra_s_per_step=amortized)
+                for name, rc in variants:
+                    step = jax.jit(
+                        make_train_step(fc, rc, lcfg, opt, anneal_end=50000),
+                        donate_argnums=(0,), compiler_options=copts)
+                    state, phases[name] = timed(
+                        step, state, fine_grid, None, batch_arrays=cbatch,
+                        extra_s_per_step=amortized)
                 phases["steady_refresh_ms_per_step"] = amortized * 1e3
             else:  # in-step query (validation / host-pool fallback path)
-                state, phases["steady"] = timed(step, state, fine_grid, None)
+                for name, rc in variants:
+                    step = jax.jit(
+                        make_train_step(fc, rc, lcfg, opt, anneal_end=50000),
+                        donate_argnums=(0,), compiler_options=copts)
+                    state, phases[name] = timed(step, state, fine_grid, None)
 
     # headline = the phase the reference spends ~99% of training in
     headline_phase = "steady" if "steady" in phases else "warmup"
@@ -310,6 +338,7 @@ def main():
         "fine_level": FINE_LEVEL if "steady" in phases else None,
         "dispatch": DISPATCH,
         "surf_mode": SURF_MODE if "steady" in phases else None,
+        "operating_point": dict(OPERATING_POINT, FIELD_DTYPE=cfg.TPU.FIELD_DTYPE),
         "grid_stats": grid_stats,
     }))
 

@@ -79,11 +79,16 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
                     "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
     }
     cfg["NEUCONW"].update(neuconw or {})
-    tpu_node = dict(tpu or {})
+    # production TPU dispatch: HBM-resident pool + scan-fused steps.
+    # Per-step host dispatch over the tunnel costs ~90 ms latency each,
+    # turning a 3000-step run into 20+ min of wall clock; the scan loop
+    # is what production training runs anyway.
+    # SCAN_INNER x batch must fit the ~74k-ray synthetic pool
+    tpu_node = {"DEVICE_POOL": True, "SCAN_INNER": 20}
+    tpu_node.update(tpu or {})
     if dtype:
         tpu_node["FIELD_DTYPE"] = dtype
-    if tpu_node:
-        cfg["TPU"] = tpu_node
+    cfg["TPU"] = tpu_node
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path

@@ -36,6 +36,9 @@ def _run_bench(extra_env):
     ({"NW_BENCH_DISPATCH": "scan"}, {"dispatch": "scan"}),
     ({"NW_BENCH_SURF": "query"}, {"surf_mode": "query"}),
     ({"NW_BENCH_PHASE": "warmup"}, {"fine_level": None}),
+    ({"NW_BENCH_OPERATING_POINT": "tpu"}, {"headline_phase": "steady"}),
+    ({"NW_BENCH_OPERATING_POINT": "tpu", "NW_BENCH_DISPATCH": "scan"},
+     {"dispatch": "scan"}),
 ])
 def test_bench_contract(env, expect):
     out = _run_bench(env)
@@ -45,5 +48,12 @@ def test_bench_contract(env, expect):
     assert set(out["phases"]) >= (
         {"warmup"} if env.get("NW_BENCH_PHASE") == "warmup"
         else {"warmup", "steady"})
+    if env.get("NW_BENCH_OPERATING_POINT") == "tpu":
+        # the deviating operating point must carry the reference-budget
+        # steady number alongside, and describe itself in the JSON
+        assert "steady_reference_budget" in out["phases"], out
+        assert out["phases"]["steady_reference_budget"] > 0
+        assert out["operating_point"].get("BG_SAMPLES") == 4
+        assert out["operating_point"].get("BOUNDARY_SAMPLES") == 4
     for k, v in expect.items():
         assert out.get(k) == v, out

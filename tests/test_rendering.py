@@ -233,7 +233,7 @@ def test_bg_samples_general_rays_approximate_and_finite():
     """On generic rays (fg samples straddling the sphere) the reduction is
     an approximation: outputs stay finite, shaped, and close at init
     (smooth random MLP along a short ray segment)."""
-    rays, ts, labels = make_rays(r=12)
+    rays, ts, labels = make_rays(r=8)
     full = _render_with_bg_samples(-1, rays, ts, labels)
     red = _render_with_bg_samples(6, rays, ts, labels)
     for key in ("color", "color_bg", "weights_sum"):

@@ -147,6 +147,10 @@ def test_train_step_runs_and_descends():
 def test_jit_train_step_multidevice():
     """The pjit'd step over an 8-device data mesh matches single-device."""
     cfg = tiny_cfg()
+    # no bg chain: halves both compiles; the bg path shards as plain DP
+    # and is covered by the slow-tier TP/DP and e2e suites
+    cfg.NEUCONW.RENDER_BG = False
+    cfg.NEUCONW.N_OUTSIDE = 0
     fc = field_config_from_cfg(cfg)
     rcfg = render_config_from_cfg(cfg)
     lcfg = loss_config_from_cfg(cfg)
@@ -441,6 +445,7 @@ def test_device_ray_pool_scan_window():
         dp.take_scan_window(64, 9)  # window larger than the pool
 
 
+@pytest.mark.slow
 def test_trainer_scan_dispatch_with_device_pool(tmp_path):
     """The production TPU dispatch path (HBM-resident pool + scan-fused
     steps + epoch sampling) on the CPU mesh: steps advance by scan
@@ -610,7 +615,7 @@ def test_device_pool_attach_surface():
 
     grid, dgrid = _fine_grid_and_level()
     rs = np.random.RandomState(0)
-    n = 1024
+    n = 256
     o = rs.randn(n, 3).astype(np.float32) * 0.1 + np.array([0, 0, 2.2], np.float32)
     d = -o + rs.randn(n, 3).astype(np.float32) * 0.05
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -623,7 +628,7 @@ def test_device_pool_attach_surface():
     pool = RayPool(rows, rs.rand(n, 3).astype(np.float32))
     for m in [None, make_mesh()]:
         dp = DeviceRayPool(pool, m)
-        dp.attach_surface(dgrid, grid.level, chunk=256)
+        dp.attach_surface(dgrid, grid.level, chunk=128)
         b = dp.next_batch(jax.random.PRNGKey(0), 64)
         assert "surf_t" in b and "surf_hit" in b
         surf, _, hit = grid_near_far(
