@@ -17,8 +17,8 @@ from neuralrecon_w_tpu.training.lpips import (
 def test_lpips_identity_and_positivity():
     params = init_lpips(jax.random.PRNGKey(0), net="vgg", width_mult=0.125)
     rs = np.random.RandomState(1)
-    a = rs.rand(48, 48, 3).astype(np.float32)
-    b = rs.rand(48, 48, 3).astype(np.float32)
+    a = rs.rand(32, 32, 3).astype(np.float32)
+    b = rs.rand(32, 32, 3).astype(np.float32)
     # one jitted closure: a single whole-graph compile serves all four
     # distance evaluations (eager conv-by-conv compilation is ~4x slower
     # on the CPU test backend) and proves jit-compatibility
@@ -33,8 +33,8 @@ def test_lpips_identity_and_positivity():
 def test_lpips_alex_variant_runs():
     params = init_lpips(jax.random.PRNGKey(2), net="alex", width_mult=0.125)
     rs = np.random.RandomState(3)
-    a = rs.rand(48, 48, 3).astype(np.float32)
-    b = np.clip(a + 0.1 * rs.randn(48, 48, 3).astype(np.float32), 0, 1)
+    a = rs.rand(32, 32, 3).astype(np.float32)
+    b = np.clip(a + 0.1 * rs.randn(32, 32, 3).astype(np.float32), 0, 1)
     assert float(jax.jit(lambda x, y: lpips(params, x, y))(a, b)) > 0
 
 
@@ -103,9 +103,9 @@ def test_lpips_matches_torch_reference():
     rs = np.random.RandomState(7)
     sd = _synthetic_vgg_state_dict(rs)
     params = load_torch_state_dict(sd, net="vgg")
-    pred = rs.rand(64, 64, 3).astype(np.float32)
-    gt = np.clip(pred + 0.15 * rs.randn(64, 64, 3).astype(np.float32), 0, 1)
-    ours = float(lpips(params, pred, gt))
+    pred = rs.rand(32, 32, 3).astype(np.float32)
+    gt = np.clip(pred + 0.15 * rs.randn(32, 32, 3).astype(np.float32), 0, 1)
+    ours = float(jax.jit(lambda x, y: lpips(params, x, y))(pred, gt))
     ref = _torch_lpips_reference(sd, pred, gt)
     assert ours == pytest.approx(ref, rel=2e-4), (ours, ref)
 

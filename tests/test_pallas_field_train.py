@@ -117,16 +117,16 @@ def test_field_train_single_group(setup):
         return (jnp.sum(rgb * c_rgb) + jnp.sum(sdf * c_sdf)
                 + jnp.sum(grad * c_grad))
 
-    gp = jax.grad(loss, argnums=(0, 2, 4))(sdf_w, sdf_b, col_w, col_b,
-                                           pts, dirs, a)
+    gp = jax.jit(jax.grad(loss, argnums=(0, 2, 4)))(
+        sdf_w, sdf_b, col_w, col_b, pts, dirs, a)
 
     def ref_loss(*args):
         rgb, sdf, grad = _ref_field(*args)
         return (jnp.sum(rgb * c_rgb) + jnp.sum(sdf * c_sdf)
                 + jnp.sum(grad * c_grad))
 
-    gr = jax.grad(ref_loss, argnums=(0, 2, 4))(sdf_w, sdf_b, col_w, col_b,
-                                               pts, dirs, a)
+    gr = jax.jit(jax.grad(ref_loss, argnums=(0, 2, 4)))(
+        sdf_w, sdf_b, col_w, col_b, pts, dirs, a)
     fr, _ = ravel_pytree(gr)
     fp, _ = ravel_pytree(gp)
     assert float(jnp.linalg.norm(fp - fr) / jnp.linalg.norm(fr)) < 1e-5
