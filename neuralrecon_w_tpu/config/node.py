@@ -43,6 +43,17 @@ class CfgNode(dict):
             loaded = yaml.safe_load(f)
         if loaded is None:
             return
+        # `_BASE_: other.yaml` (path relative to this file) merges the
+        # base first, then this file's overrides on top — used by the
+        # config/train_*_tpu.yaml operating-point variants so the scene
+        # hyperparameters live in exactly one place.
+        base = loaded.pop("_BASE_", None)
+        if base is not None:
+            import os
+
+            self.merge_from_file(
+                os.path.join(os.path.dirname(os.path.abspath(cfg_filename)), base)
+            )
         _merge_into(loaded, self, [])
 
     def merge_from_list(self, opts: list) -> None:

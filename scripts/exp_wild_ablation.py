@@ -50,7 +50,8 @@ def build_scene(root, **kw):
 
 
 def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
-              dtype=None, tpu=None, neuconw=None):
+              dtype=None, tpu=None, neuconw=None, device_pool=True,
+              scan_inner=20):
     import yaml
 
     # the proven synthetic-convergence recipe (exp_synth_convergence.py:
@@ -82,9 +83,14 @@ def write_cfg(path, root, encode_a=True, ray_mask=None, steps_update=500,
     # production TPU dispatch: HBM-resident pool + scan-fused steps.
     # Per-step host dispatch over the tunnel costs ~90 ms latency each,
     # turning a 3000-step run into 20+ min of wall clock; the scan loop
-    # is what production training runs anyway.
-    # SCAN_INNER x batch must fit the ~74k-ray synthetic pool
-    tpu_node = {"DEVICE_POOL": True, "SCAN_INNER": 20}
+    # is what production training runs anyway. NOTE: scan dispatch was
+    # adopted in round 3 — pre-round-3 published cells of this script
+    # ran per-step dispatch (protocol difference for ablation
+    # comparability). Pass device_pool=False to restore it.
+    # SCAN_INNER x batch must fit the ~74k-ray synthetic pool; main()
+    # computes scan_inner from --batch so large batches can't silently
+    # overrun the pool.
+    tpu_node = {"DEVICE_POOL": bool(device_pool), "SCAN_INNER": int(scan_inner)}
     tpu_node.update(tpu or {})
     if dtype:
         tpu_node["FIELD_DTYPE"] = dtype
@@ -182,6 +188,8 @@ def main():
                     help="comma list of run tags to execute (default all)")
     args = ap.parse_args()
 
+    # SCAN_INNER x batch must fit the ~74k-ray synthetic pool
+    scan_inner = max(1, min(20, 73_000 // args.batch))
     base = args.out_dir or tempfile.mkdtemp(prefix="wild_ablation_")
     os.makedirs(base, exist_ok=True)
     print(f"workdir: {base}", file=sys.stderr)
@@ -197,7 +205,7 @@ def main():
     if want("clean"):
         info_c = build_scene(clean_root, seed=0)
         cfg_c = write_cfg(os.path.join(base, "cfg_clean.yaml"), clean_root,
-                          dtype=args.dtype)
+                          dtype=args.dtype, scan_inner=scan_inner)
         results["clean"] = run_one("clean", cfg_c, info_c, args.steps, base,
                                    batch=args.batch)
 
@@ -206,9 +214,9 @@ def main():
     if want("jitter_encode_a") or want("jitter_no_a"):
         info_j = build_scene(jit_root, seed=0, appearance_jitter=args.jitter)
         cfg_a1 = write_cfg(os.path.join(base, "cfg_a1.yaml"), jit_root,
-                           encode_a=True, dtype=args.dtype)
+                           encode_a=True, dtype=args.dtype, scan_inner=scan_inner)
         cfg_a0 = write_cfg(os.path.join(base, "cfg_a0.yaml"), jit_root,
-                           encode_a=False, dtype=args.dtype)
+                           encode_a=False, dtype=args.dtype, scan_inner=scan_inner)
         if want("jitter_encode_a"):
             results["jitter_encode_a"] = run_one(
                 "jitter_encode_a", cfg_a1, info_j, args.steps, base,
@@ -223,9 +231,9 @@ def main():
     if want("occluded_masked") or want("occluded_unmasked"):
         info_o = build_scene(occ_root, seed=0, transient_occluders=True)
         cfg_t1 = write_cfg(os.path.join(base, "cfg_t1.yaml"), occ_root,
-                           ray_mask=["person"], dtype=args.dtype)
+                           ray_mask=["person"], dtype=args.dtype, scan_inner=scan_inner)
         cfg_t0 = write_cfg(os.path.join(base, "cfg_t0.yaml"), occ_root,
-                           dtype=args.dtype)
+                           dtype=args.dtype, scan_inner=scan_inner)
         if want("occluded_masked"):
             results["occluded_masked"] = run_one(
                 "occluded_masked", cfg_t1, info_o, args.steps, base,

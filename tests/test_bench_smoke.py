@@ -32,13 +32,13 @@ def _run_bench(extra_env):
 
 
 @pytest.mark.parametrize("env,expect", [
-    ({}, {"dispatch": "single", "surf_mode": "cache"}),
-    ({"NW_BENCH_DISPATCH": "scan"}, {"dispatch": "scan"}),
+    ({}, {"dispatch": "scan", "surf_mode": "cache",
+          "headline_phase": "steady"}),
+    ({"NW_BENCH_DISPATCH": "single"}, {"dispatch": "single"}),
     ({"NW_BENCH_SURF": "query"}, {"surf_mode": "query"}),
     ({"NW_BENCH_PHASE": "warmup"}, {"fine_level": None}),
-    ({"NW_BENCH_OPERATING_POINT": "tpu"}, {"headline_phase": "steady"}),
-    ({"NW_BENCH_OPERATING_POINT": "tpu", "NW_BENCH_DISPATCH": "scan"},
-     {"dispatch": "scan"}),
+    ({"NW_BENCH_OPERATING_POINT": "parity", "NW_BENCH_DISPATCH": "single"},
+     {"dispatch": "single"}),
 ])
 def test_bench_contract(env, expect):
     out = _run_bench(env)
@@ -48,12 +48,36 @@ def test_bench_contract(env, expect):
     assert set(out["phases"]) >= (
         {"warmup"} if env.get("NW_BENCH_PHASE") == "warmup"
         else {"warmup", "steady"})
-    if env.get("NW_BENCH_OPERATING_POINT") == "tpu":
+    op_active = (env.get("NW_BENCH_OPERATING_POINT", "tpu") == "tpu"
+                 and env.get("NW_BENCH_PHASE") != "warmup")
+    if op_active:
         # the deviating operating point must carry the reference-budget
         # steady number alongside, and describe itself in the JSON
         assert "steady_reference_budget" in out["phases"], out
         assert out["phases"]["steady_reference_budget"] > 0
+        assert "vs_baseline_reference_budget" in out, out
         assert out["operating_point"].get("BG_SAMPLES") == 4
         assert out["operating_point"].get("BOUNDARY_SAMPLES") == 4
+        # the benched config is the shipped train config artifact
+        assert out["operating_point"]["config_artifact"] == os.path.join(
+            "config", "train_brandenburg_gate_tpu.yaml")
+    if env.get("NW_BENCH_PHASE") == "warmup":
+        # self-description follows the measured rcfg: warmup runs the
+        # parity budget, never the operating-point constants
+        assert out["operating_point"]["BOUNDARY_SAMPLES"] == 10
+        assert out["operating_point"]["BG_SAMPLES"] == -1
+    if env.get("NW_BENCH_OPERATING_POINT") == "parity":
+        assert out["operating_point"]["BOUNDARY_SAMPLES"] == 10
+        assert "steady_reference_budget" not in out["phases"]
     for k, v in expect.items():
         assert out.get(k) == v, out
+
+
+def test_bench_cfg_conflict_disables_operating_point():
+    """NW_BENCH_CFG sweeping an operating-point knob must measure the
+    swept value, not get clobbered by the operating-point override
+    (advisor r3 medium): the override falls back to parity."""
+    out = _run_bench({"NW_BENCH_CFG": "TPU.BOUNDARY_SAMPLES=2",
+                      "NW_BENCH_DISPATCH": "single"})
+    assert out["operating_point"]["BOUNDARY_SAMPLES"] == 2, out
+    assert "steady_reference_budget" not in out["phases"], out

@@ -139,12 +139,15 @@ def test_04_extract_and_eval(scene, cfg_path, tmp_path_factory):
     # (scripts/exp_e2e_gate_calibration.py; raw bands in
     # docs/e2e_gate_calibration.json): F mean 0.349 sigma 0.050,
     # chamfer_pred_to_gt mean 0.523 sigma 0.022, chamfer_gt_to_pred
-    # mean 0.659 sigma 0.044. Each gate sits at mean +/- 3*sigma, so a
-    # regression has to clear 3 standard deviations of seed noise —
-    # not the 2x headroom the old gates allowed.
-    assert res["fscores"][0] > 0.19, res
-    assert res["chamfer_pred_to_gt"] < 0.59, res
-    assert res["chamfer_gt_to_pred"] < 0.79, res
+    # mean 0.659 sigma 0.044. Each gate sits at mean +/- 4*sigma:
+    # sigma from n=5 is itself noisy and GEMM summation-order
+    # differences across BLAS/backends move F by ~0.05 at this step
+    # count, so 3*sigma left real flake risk (advisor r3) — 4*sigma
+    # still catches any genuine regression (the degenerate failure
+    # modes score F < 0.05).
+    assert res["fscores"][0] > 0.14, res
+    assert res["chamfer_pred_to_gt"] < 0.62, res
+    assert res["chamfer_gt_to_pred"] < 0.84, res
 
 
 @pytest.mark.slow

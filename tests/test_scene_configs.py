@@ -52,3 +52,34 @@ def test_reference_yaml_schema_compat():
         field_config_from_cfg(cfg)
         render_config_from_cfg(cfg)
         loss_config_from_cfg(cfg)
+
+
+def test_tpu_operating_point_yaml_inherits_scene():
+    """config/train_*_tpu.yaml = scene parity config (via _BASE_) + the
+    quality-ablated TPU operating point. bench.py measures this exact
+    artifact and scripts/train.sh selects it on a TPU backend, so the
+    benched config and the trained config cannot drift apart."""
+    path = os.path.join(REPO, "config", "train_brandenburg_gate_tpu.yaml")
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(path)
+    # inherited scene hyperparameters (reference config parity values)
+    rcfg = render_config_from_cfg(cfg)
+    assert rcfg.n_samples == 8 and rcfg.n_importance == 16
+    assert rcfg.sample_range == 16
+    assert cfg.NEUCONW.BOUNDARY_SAMPLES == 10  # parity value kept
+    # operating-point overrides (TPU namespace only)
+    assert cfg.TPU.FIELD_DTYPE == "bfloat16"
+    assert cfg.TPU.BG_SAMPLES == 4
+    assert rcfg.boundary_samples == 4  # TPU.BOUNDARY_SAMPLES wins
+    assert rcfg.bg_samples == 4
+
+
+def test_base_key_relative_and_override_order(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("NEUCONW:\n  N_SAMPLES: 8\n  N_OUTSIDE: 4\n")
+    child = tmp_path / "child.yaml"
+    child.write_text("_BASE_: base.yaml\nNEUCONW:\n  N_SAMPLES: 16\n")
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(str(child))
+    assert cfg.NEUCONW.N_SAMPLES == 16  # child wins
+    assert cfg.NEUCONW.N_OUTSIDE == 4  # base applied
