@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.neuconw import FieldConfig, field_rgb, field_sdf
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 
 try:  # jax>=0.6 exposes shard_map at top level
     from jax import shard_map  # type: ignore[attr-defined]
@@ -67,6 +67,45 @@ def _sweep_jit(params, arrays, fn, chunk: int, mesh):
     return smapped(params, *arrays)
 
 
+def _local_mesh() -> Mesh:
+    """A (local_devices, 1) mesh over THIS process's devices only."""
+    import numpy as _np
+
+    devs = jax.local_devices()
+    return Mesh(_np.asarray(devs).reshape(len(devs), 1),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def _sweep_multihost(fn, params, chunk: int, host_arrays, macro: int):
+    """Multi-process sweep, the reference's rank-sharded pattern
+    (reference lightning_modules/neuconw_system.py:239-258 and
+    utils/visualization.py:67-90): every process holds the SAME host
+    point set, evaluates a contiguous block on its local devices, and a
+    cross-process all-gather rebuilds the full result on every host.
+
+    The single-process path's device_put/np.asarray round trip cannot
+    run on a mesh that spans processes (non-addressable shards), so the
+    global mesh dispatches here instead. `params` must be host-side
+    (process-replicated) values — both callers pass jax.device_get'd
+    params."""
+    from jax.experimental import multihost_utils
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    n = host_arrays[0].shape[0]
+    per = -(-max(n, 1) // nproc)  # equal blocks so gather shapes agree
+    lo = min(pid * per, n)
+    local = []
+    for a in host_arrays:
+        blk = np.asarray(a[lo:lo + per])
+        if blk.shape[0] < per:
+            pad = np.zeros((per - blk.shape[0],) + blk.shape[1:], blk.dtype)
+            blk = np.concatenate([blk, pad], axis=0)
+        local.append(blk)
+    out = _sweep(fn, params, _local_mesh(), chunk, *local, macro=macro)
+    gathered = multihost_utils.process_allgather(out)  # (nproc, per, ...)
+    return np.asarray(gathered).reshape((nproc * per,) + out.shape[1:])[:n]
+
+
 def _sweep(fn, params, mesh: Mesh | None, chunk: int, *host_arrays,
            macro: int = 1 << 22):
     """Pad, shard, chunk-map fn over the arrays' leading axis; gather.
@@ -77,6 +116,8 @@ def _sweep(fn, params, mesh: Mesh | None, chunk: int, *host_arrays,
     a 233M-point level-10 sweep exceeding the 16 GB HBM). Every macro
     except the last has an identical shape, so at most two programs
     compile."""
+    if mesh is not None and getattr(mesh, "is_multi_process", False):
+        return _sweep_multihost(fn, params, chunk, host_arrays, macro)
     n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
     block = chunk * n_shards
     macro = max(block, (macro // block) * block)

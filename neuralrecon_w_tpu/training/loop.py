@@ -405,11 +405,19 @@ class Trainer:
         val_id = self._val_meta.img_ids_train[0]  # reference phototourism.py:695
         # shard the render over the data axis only when the chunk
         # divides it — otherwise fall back to single-device (a config
-        # choice must never kill the training run at validation time)
+        # choice must never kill the training run at validation time).
+        # Multi-process runs render replicated-redundant instead: every
+        # process computes the same image and only main writes — the
+        # reference's own multi-GPU validation semantics ("validate same
+        # image for all gpus", reference datasets/phototourism.py:57)
+        multiproc = getattr(self.mesh, "is_multi_process", False)
         n_data = int(self.mesh.shape.get("data", 1))
-        val_mesh = self.mesh if self.tcfg.test_batch_size % n_data == 0 else None
+        val_mesh = (self.mesh if (self.tcfg.test_batch_size % n_data == 0
+                                  and not multiproc) else None)
+        val_params = (jax.device_get(self.state.params) if multiproc
+                      else self.state.params)
         metrics = validation_report(
-            self._steps[key], self.state.params, self.scene, self._val_meta,
+            self._steps[key], val_params, self.scene, self._val_meta,
             val_id, chunk=self.tcfg.test_batch_size,
             fine_grid=self.fine_dgrid, sfm_grid=self.sfm_dgrid,
             out_dir=(os.path.join(self.exp_dir, "val")

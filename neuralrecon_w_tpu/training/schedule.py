@@ -45,14 +45,19 @@ def make_optimizer(cfg, world_batch_size: int, total_steps: int = 0):
     schedule = make_lr_schedule(cfg, base_lr, total_steps)
     name = (cfg.TRAINER.OPTIMIZER or "adam").lower()
     wd = float(cfg.TRAINER.WEIGHT_DECAY or 0.0)
+    # eps=1e-7 is the reference's Adam epsilon (reference
+    # utils/__init__.py:24), not optax's 1e-8 default — pinned by the
+    # twin-dynamics parity test (tests/test_reference_twin_dynamics.py)
+    eps = 1e-7
     if name == "adam":
         opt = (
-            optax.adamw(schedule, weight_decay=wd) if wd > 0 else optax.adam(schedule)
+            optax.adamw(schedule, eps=eps, weight_decay=wd) if wd > 0
+            else optax.adam(schedule, eps=eps)
         )
     elif name == "sgd":
         opt = optax.sgd(schedule, momentum=0.9)
     elif name == "radam":
-        opt = optax.radam(schedule)
+        opt = optax.radam(schedule, eps=eps)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     clip = float(cfg.TRAINER.GRAD_CLIP or 0.0)

@@ -123,7 +123,11 @@ def jit_train_step(step_fn, mesh, donate: bool = True, param_specs=None):
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
-    batch_shard = {"rays": data, "ts": data, "labels": data, "rgbs": data}
+    # prefix sharding: every leaf of the batch dict is a per-ray array
+    # sharded on data — including the optional surf_t/surf_hit band
+    # cache a DeviceRayPool attaches after octree_update (a fixed key
+    # set here would reject those batches)
+    batch_shard = data
     if param_specs is None:
         state_shard = repl
     else:

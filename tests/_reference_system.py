@@ -105,7 +105,7 @@ class ReferenceSystem:
     step composition, CPU torch."""
 
     def __init__(self, ref, *, scene_config, neuconw_cfg, lr,
-                 weight_decay=0.0, device="cpu", seed=66):
+                 weight_decay=0.0, device="cpu", seed=66, nerf_config=None):
         import torch
 
         torch.manual_seed(seed)
@@ -120,12 +120,17 @@ class ReferenceSystem:
             in_channels_a=n["N_A"],
             encode_a=n["ENCODE_A"],
         )
+        # production bg NeRF dims (reference lightning_modules/
+        # neuconw_system.py:84-96); nerf_config shrinks them for
+        # CPU-feasible convergence runs (exp_reference_budget_twin)
+        nerf_kw = dict(D=8, W=256, skips=[4])
+        nerf_kw.update(nerf_config or {})
         self.nerf = ref["nerf"].NeRF(
-            D=8, d_in=4, d_in_view=3, W=256, multires=10, multires_view=4,
-            output_ch=4, skips=[4],
+            d_in=4, d_in_view=3, multires=10, multires_view=4,
+            output_ch=4,
             encode_appearance=n["ENCODE_A_BG"], in_channels_a=n["N_A"],
             in_channels_dir=6 * n["COLOR_CONFIG"]["multires_view"] + 3,
-            use_viewdirs=True,
+            use_viewdirs=True, **nerf_kw,
         )
         # renderer ctor reads config.yaml only when recontruct_path has
         # one (reference rendering/renderer.py:104-112); pass origin and

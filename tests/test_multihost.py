@@ -51,7 +51,11 @@ def test_two_process_lockstep_training(tmp_path):
             "N_SAMPLES": 8, "N_IMPORTANCE": 8, "UP_SAMPLE_STEP": 2,
             "N_OUTSIDE": 2, "BOUNDARY_SAMPLES": 2, "S_VAL_BASE": 1,
             "SAMPLE_RANGE": 4, "N_VOCAB": 16, "ANNEAL_END": 100,
-            "UPDATE_FREQ": 1000, "TRAIN_VOXEL_SIZE": 0.12,
+            # cross every stateful boundary inside the 6-step run:
+            # octree_update at step 3 (sharded sweep + all-gather),
+            # validation at step 6 (VAL_FREQ > 1 is a step count), and
+            # the end-of-fit orbax collective save carries the fine grid
+            "UPDATE_FREQ": 3, "TRAIN_VOXEL_SIZE": 0.12,
             "SDF_CONFIG": {"d_hidden": 64, "d_out": 65, "n_layers": 2,
                            "skip_in": (1,)},
             "COLOR_CONFIG": {"d_feature": 64, "d_hidden": 32, "n_layers": 2,
@@ -59,9 +63,7 @@ def test_two_process_lockstep_training(tmp_path):
         },
         "DATASET": {"ROOT_DIR": root, "DATASET_NAME": "phototourism",
                     "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
-        # VAL_FREQ in steps, beyond max_steps: the val path is covered
-        # single-process elsewhere; here the subject is lockstep training
-        "TRAINER": {"SAVE_FREQ": 1000, "VAL_FREQ": 1000.0,
+        "TRAINER": {"SAVE_FREQ": 1000, "VAL_FREQ": 6.0,
                     "CANONICAL_LR": 1e-3, "CANONICAL_BS": 512},
         "TPU": {"DEVICE_POOL": False},
     }
@@ -86,7 +88,7 @@ def test_two_process_lockstep_training(tmp_path):
             text=True)
         for r in (0, 1)
     ]
-    logs = [p.communicate(timeout=900)[0] for p in procs]
+    logs = [p.communicate(timeout=1500)[0] for p in procs]
     for r, p in enumerate(procs):
         assert p.returncode == 0, (
             f"rank {r} failed:\n{logs[r][-4000:]}\n"
@@ -106,16 +108,42 @@ def test_two_process_lockstep_training(tmp_path):
     assert s0 and s1 and not (s0 & s1)
     assert len(s0 | s1) == 8
 
-    # lockstep: the psum'd update left every replica bitwise identical
+    # lockstep: the psum'd update left every replica bitwise identical —
+    # still true after the octree_update at step 3 and the validation
+    # render at step 6
     fp0, fp1 = rec[0]["fingerprint"], rec[1]["fingerprint"]
     assert fp0.keys() == fp1.keys() and len(fp0) > 4
     for k in fp0:
         assert fp0[k] == fp1[k], (k, fp0[k], fp1[k])
 
+    # octree_update crossed: the fine grid rebuilt from the sharded SDF
+    # sweep + cross-process all-gather is byte-identical on both hosts
+    g0, g1 = rec[0]["fine_grid"], rec[1]["fine_grid"]
+    assert g0 is not None and g0["n_voxels"] > 0
+    assert g0 == g1, (g0, g1)
+
+    # save -> resume crossed: both processes restored the same step,
+    # the same fine grid, and stayed in lockstep for 2 more
+    # surface-guided steps
+    for r in (0, 1):
+        assert rec[r]["resume_restored_step"] == 6
+        assert rec[r]["resume_step"] == 8
+    assert rec[0]["resume_fine_grid"] == g0  # checkpoint carried the grid
+    assert rec[1]["resume_fine_grid"] == g0
+    rfp0, rfp1 = rec[0]["resume_fingerprint"], rec[1]["resume_fingerprint"]
+    assert rfp0.keys() == rfp1.keys()
+    for k in rfp0:
+        assert rfp0[k] == rfp1[k], (k, rfp0[k], rfp1[k])
+    # and training actually advanced past the restored params
+    assert any(rfp0[k] != fp0[k] for k in fp0)
+
     # artifacts written exactly once into the shared dir (metrics by the
-    # main process's logger, the checkpoint by orbax's primary host)
+    # main process's logger, the checkpoint by orbax's primary host);
+    # the step-6 validation wrote its report + images on main only
     assert os.path.exists(os.path.join(save_dir, "mh", "logs",
                                        "metrics.jsonl"))
+    val_dir = os.path.join(save_dir, "mh", "val")
+    assert os.path.isdir(val_dir) and os.listdir(val_dir)
     from neuralrecon_w_tpu.training import latest_checkpoint
 
     ck = latest_checkpoint(os.path.join(save_dir, "mh", "checkpoints"))
