@@ -141,6 +141,118 @@ def wait_for_device(max_wait_s: int | None = None):
         time.sleep(60)
 
 
+def scene_geometry(level_target: int, train_batch: int):
+    """Realistic steady-state geometry (VERDICT r03 item 8): synthetic
+    workspace -> ray cache -> short flagship training through the
+    production Trainer -> octree_update fine grid from the trained SDF.
+
+    Unlike make_fine_grid's ideal unit-sphere shell (band_hit_rate 1.0,
+    uniform near/far), this yields the regime real scenes run in: image
+    rays that miss the surface shell (sky/background pixels), ragged
+    per-ray [near, far] from real camera geometry, and a grid whose
+    occupancy comes from a trained SDF zero set, not an analytic
+    surface. The workspace and the built grid are cached on disk
+    (NW_BENCH_SCENE_DIR) so repeat benches skip the setup.
+
+    Returns (scene_config, host_grid, device_grid, RayPool).
+    """
+    import yaml
+
+    from neuralrecon_w_tpu.datasets.cache import RayPool, read_ray_cache
+    from neuralrecon_w_tpu.ops.ray_voxel import make_device_grid
+    from neuralrecon_w_tpu.ops.voxel_grid import VoxelGrid
+
+    # NOT a dotdir: make_synthetic_scene names the split tsv after the
+    # workspace basename, and read_tsv's *.tsv glob skips hidden files
+    ws = os.environ.get("NW_BENCH_SCENE_DIR", "/root/nw_bench_scene")
+    steps = int(os.environ.get("NW_BENCH_SCENE_STEPS", "300"))
+    split_root = os.path.join(ws, "cache_sgs", "splits")
+    if not os.path.exists(os.path.join(split_root, "rays1_meta_info.json")):
+        from neuralrecon_w_tpu.testing import make_synthetic_scene
+        from neuralrecon_w_tpu.tools.prepare_data.prepare_data_cache import (
+            main as cache_main,
+        )
+
+        os.makedirs(ws, exist_ok=True)
+        make_synthetic_scene(ws, n_images=26, n_test=2, img_wh=(64, 48),
+                             n_points=600, seed=0)
+        cache_main(["--root_dir", ws, "--split_to_chunks", "8"])
+    with open(os.path.join(ws, "config.yaml")) as f:
+        sc = yaml.safe_load(f)
+    # voxel size placing the rebuilt grid at level_target over the
+    # scene cube: invert training/surface.surface_level's ceil rule on
+    # the same bbx half-extent it uses (1.001 makes log2 land just
+    # BELOW the integer so ceil resolves to level_target, not +1)
+    from neuralrecon_w_tpu.ops.voxel_grid import scene_bbx_sfm
+
+    bbx_min, bbx_max = scene_bbx_sfm(sc, in_sfm=True)
+    scene_scale = float(np.max(bbx_max - bbx_min) / 2.0)
+    train_voxel = 2.0 * scene_scale * 1.001 / (1 << level_target)
+
+    # NW_BENCH_SCENE_TINY=1: run the scene-SETUP training with small
+    # nets (the CPU smoke test's 1-core budget can't afford a flagship
+    # train_cli compile+train). Only the grid-building side shrinks —
+    # the timed bench phase still runs the flagship model; the grid is
+    # still a trained-SDF octree_update product, just from a smaller
+    # field. Real-chip runs keep the flagship default.
+    tiny = os.environ.get("NW_BENCH_SCENE_TINY", "0") == "1"
+    grid_npz = os.path.join(
+        ws, f"fine_grid_l{level_target}_s{steps}{'_tiny' if tiny else ''}.npz")
+    if not os.path.exists(grid_npz):
+        from neuralrecon_w_tpu.tools.train_cli import main as train_main
+
+        cfg_y = {
+            "NEUCONW": {
+                "ANNEAL_END": max(steps, 1), "UPDATE_FREQ": max(steps // 2, 1),
+                "TRAIN_VOXEL_SIZE": train_voxel, "SDF_THRESHOLD": 0.0,
+                "NEAR_FAR_OVERRIDE": True, "N_VOCAB": 32,
+                "DEPTH_LOSS": True,
+                "LOSS": {"depth_weight": 1.0, "igr_weight": 0.001},
+            },
+            "DATASET": {"ROOT_DIR": ws, "DATASET_NAME": "phototourism",
+                        "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
+            "TRAINER": {"SAVE_FREQ": 10 ** 9, "VAL_FREQ": 1e9,
+                        "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
+            "TPU": {"FIELD_DTYPE": cfg_field_dtype_for_scene()},
+        }
+        if tiny:
+            cfg_y["NEUCONW"]["SDF_CONFIG"] = {
+                "d_hidden": 64, "d_out": 65, "n_layers": 4, "skip_in": [2]}
+            cfg_y["NEUCONW"]["COLOR_CONFIG"] = {
+                "d_feature": 64, "d_hidden": 32, "n_layers": 2,
+                "head_channels": 16}
+            cfg_y["NEUCONW"].update(N_SAMPLES=8, N_IMPORTANCE=8,
+                                    UP_SAMPLE_STEP=2, N_OUTSIDE=2,
+                                    BOUNDARY_SAMPLES=2, S_VAL_BASE=1,
+                                    SAMPLE_RANGE=4)
+        cfg_path = os.path.join(ws, "bench_scene_cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg_y, f)
+        trainer = train_main([
+            "--cfg_path", cfg_path, "--batch_size", str(train_batch),
+            "--test_batch_size", "512", "--num_epochs", "1000",
+            "--max_steps", str(steps), "--exp_name", "bench_scene",
+            "--save_dir", os.path.join(ws, "runs"),
+        ])
+        trainer.refine_surface()  # grid from the FINAL params
+        host = trainer.fine_grid_host
+        if host is None:
+            raise RuntimeError("octree_update kept no voxels")
+        np.savez(grid_npz, level=host.level, origin=host.origin,
+                 scale=host.scale, coords=host.coords)
+    z = np.load(grid_npz)
+    host = VoxelGrid(int(z["level"]), z["origin"], float(z["scale"]),
+                     z["coords"])
+    rays, rgbs = read_ray_cache(split_root)
+    return sc, host, make_device_grid(host), RayPool(rays, rgbs)
+
+
+def cfg_field_dtype_for_scene():
+    """The scene-setup training uses the same activation dtype as the
+    headline so the built grid reflects the benched configuration."""
+    return OP_FIELD_DTYPE or "bfloat16"
+
+
 def make_fine_grid(level: int):
     """Synthetic online surface grid: the voxel shell of the unit sphere
     (the scene surface in _make_batch's geometry), built through the
@@ -204,10 +316,12 @@ def main():
     batch = _make_batch(BATCH, fc.n_vocab)
     rng = jax.random.PRNGKey(1)
 
-    def timed(step, state, *extra, batch_arrays=None, extra_s_per_step=0.0):
+    def timed(step, state, *extra, batch_arrays=None, extra_s_per_step=0.0,
+              scene_info=None):
         b = batch if batch_arrays is None else batch_arrays
+        sc_ = scene if scene_info is None else scene_info
         for _ in range(WARMUP):
-            state, aux = step(state, scene, b, rng, *extra)
+            state, aux = step(state, sc_, b, rng, *extra)
         # value fetch, not block_until_ready: remote-device transports may
         # resolve readiness before execution completes; pulling the scalar
         # guarantees the whole dependent chain actually ran
@@ -220,22 +334,23 @@ def main():
         assert loss == loss, "NaN loss in benchmark"
         return state, BATCH * ITERS / (dt + ITERS * extra_s_per_step)
 
-    def timed_scan(rcfg_p, pool, *grids):
+    def timed_scan(rcfg_p, pool, *grids, scene_info=None):
         """Time the production scan-dispatch loop: N_INNER steps per
         device dispatch, batches gathered on-device from the pool."""
         from neuralrecon_w_tpu.training.step import make_scan_train_fn
 
+        sc_ = scene if scene_info is None else scene_info
         nonlocal_state = init_state(jax.random.PRNGKey(0), fc, opt)
         run = make_scan_train_fn(fc, rcfg_p, lcfg, opt, 50000, (),
                                  BATCH, N_INNER)
         data_rng = jax.random.PRNGKey(2)
         st = nonlocal_state
         for _ in range(WARMUP):
-            st, aux = run(st, scene, pool, data_rng, rng, *grids)
+            st, aux = run(st, sc_, pool, data_rng, rng, *grids)
         float(aux["loss"])
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            st, aux = run(st, scene, pool, data_rng, rng, *grids)
+            st, aux = run(st, sc_, pool, data_rng, rng, *grids)
         loss = float(aux["loss"])
         dt = time.perf_counter() - t0
         assert loss == loss, "NaN loss in benchmark"
@@ -369,6 +484,98 @@ def main():
                         donate_argnums=(0,), compiler_options=copts)
                     state, phases[name] = timed(step, state, fine_grid, None)
 
+    # ---- realistic scene geometry (alongside the ideal-shell number) ----
+    grid_stats_scene = None
+    if PHASE in ("steady", "both") and os.environ.get("NW_BENCH_SCENE",
+                                                      "1") == "1":
+        try:
+            import jax.numpy as jnp
+
+            from neuralrecon_w_tpu.ops.ray_voxel import grid_near_far as _gnf2
+            from neuralrecon_w_tpu.rendering.renderer import SceneInfo
+
+            # scene grid level defaults to the shell's; separately
+            # tunable because the setup training's octree sweeps cost
+            # ~8x per level (the CPU smoke runs a level the 1-core
+            # host can afford)
+            ssc, s_host, s_dgrid, s_pool = scene_geometry(
+                int(os.environ.get("NW_BENCH_SCENE_LEVEL", FINE_LEVEL)),
+                min(BATCH, 2048))
+            s_scene = SceneInfo(
+                origin=jnp.asarray(ssc["origin"], jnp.float32),
+                radius=jnp.asarray(float(ssc["radius"]), jnp.float32),
+                sfm2gt=jnp.asarray(ssc["sfm2gt"], jnp.float32))
+            cfg_s = cfg.clone()
+            for k, v in OPERATING_POINT.items():
+                setattr(cfg_s.TPU, k, v)
+            rcfg_s = render_config_from_cfg(cfg_s, fine_level=s_host.level)
+
+            @jax.jit
+            def squery(r):
+                surf, _, hit = _gnf2(s_dgrid, s_host.level, r[:, 0:3],
+                                     r[:, 3:6], first_only=True)
+                return surf, hit
+
+            rs_sc = np.random.RandomState(5)
+            sb = s_pool.gather(rs_sc.choice(len(s_pool), min(BATCH,
+                                                             len(s_pool)),
+                                            replace=False))
+            _ss, _sh = map(np.asarray, squery(jnp.asarray(sb["rays"])))
+            _nf = sb["rays"][:, 6:8]
+            grid_stats_scene = {
+                "band_hit_rate": round(float(_sh.mean()), 4),
+                "near_mean_std": [round(float(_nf[:, 0].mean()), 3),
+                                  round(float(_nf[:, 0].std()), 3)],
+                "far_mean_std": [round(float(_nf[:, 1].mean()), 3),
+                                 round(float(_nf[:, 1].std()), 3)],
+                "occupied_voxels": int(s_host.coords.shape[0]),
+                "grid_level": int(s_host.level),
+                "source": "synthetic workspace rays + trained-SDF "
+                          "octree_update grid (scene_geometry)",
+            }
+            if DISPATCH == "scan":
+                reps = -(-SCAN_POOL_ROWS // len(s_pool))
+                idx = np.concatenate(
+                    [rs_sc.permutation(len(s_pool)) for _ in range(reps)]
+                )[:SCAN_POOL_ROWS]
+                spool = {k: jnp.asarray(v) for k, v in
+                         s_pool.gather(idx).items()}
+                ssurf, shit = squery(spool["rays"])
+                float(ssurf[0])
+                t0 = time.perf_counter()
+                ssurf, shit = squery(spool["rays"])
+                float(ssurf[0])
+                s_amort = ((time.perf_counter() - t0)
+                           * (POOL_ROWS / SCAN_POOL_ROWS) / UPDATE_FREQ)
+                spool = dict(spool, surf_t=ssurf, surf_hit=shit)
+                dt, n_rays = timed_scan(rcfg_s, spool, s_dgrid, None,
+                                        scene_info=s_scene)
+                phases["steady_scene"] = n_rays / (
+                    dt + ITERS * N_INNER * s_amort)
+            else:
+                sfull = {k: jnp.asarray(v) for k, v in sb.items()}
+                ssurf, shit = squery(sfull["rays"])
+                float(ssurf[0])
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    ssurf, shit = squery(sfull["rays"])
+                float(ssurf[0])
+                s_amort = ((time.perf_counter() - t0) / 5
+                           * (POOL_ROWS / BATCH) / UPDATE_FREQ)
+                sfull = dict(sfull, surf_t=ssurf, surf_hit=shit)
+                step_s = jax.jit(
+                    make_train_step(fc, rcfg_s, lcfg, opt, anneal_end=50000),
+                    donate_argnums=(0,), compiler_options=copts)
+                st_s = init_state(jax.random.PRNGKey(0), fc, opt)
+                _, phases["steady_scene"] = timed(
+                    step_s, st_s, s_dgrid, None, batch_arrays=sfull,
+                    extra_s_per_step=s_amort, scene_info=s_scene)
+        except Exception as e:  # the extra phase must never kill the bench
+            import traceback
+
+            traceback.print_exc()
+            print(f"# steady_scene phase skipped: {e!r}", flush=True)
+
     # headline = the phase the reference spends ~99% of training in
     headline_phase = "steady" if "steady" in phases else "warmup"
     headline = phases[headline_phase]
@@ -399,7 +606,12 @@ def main():
             "kind": "bounded estimate (BASELINE.md 'A100 baseline derivation')",
         },
         "grid_stats": grid_stats,
+        "grid_stats_scene": grid_stats_scene,
     }
+    if "steady_scene" in phases and "steady" in phases:
+        # realistic-geometry steady vs the ideal-shell steady, in percent
+        out["scene_vs_shell_pct"] = round(
+            100.0 * (phases["steady_scene"] / phases["steady"] - 1.0), 1)
     if ref_budget is not None:
         # like-for-like: our framework at the reference's exact sampling
         # budget (BOUNDARY_SAMPLES is a knob the reference's YAMLs also

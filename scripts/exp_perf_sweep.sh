@@ -2,6 +2,12 @@
 # Perf sweep over bench.py env knobs (one serial chip job per variant).
 # Usage: scripts/exp_perf_sweep.sh [out.jsonl]
 set -u
+# pin the published round-3 protocol: these cells were measured at
+# the parity budget BEFORE the TPU operating point became the bench
+# default; without this a rerun at HEAD would measure (and mislabel)
+# the operating point. The scene-geometry phase postdates them too.
+export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_SCENE=0
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/perf_sweep.jsonl}
 : > "$OUT"

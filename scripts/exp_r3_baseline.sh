@@ -2,6 +2,12 @@
 # Round-3 perf session 1: steady baseline + RENDER_BG-off bound.
 # Serializes chip jobs (the tunneled TPU is single-claim).
 set -u
+# pin the published round-3 protocol: these cells were measured at
+# the parity budget BEFORE the TPU operating point became the bench
+# default; without this a rerun at HEAD would measure (and mislabel)
+# the operating point. The scene-geometry phase postdates them too.
+export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_SCENE=0
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_compcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5

@@ -4,6 +4,12 @@
 # without remat; does 10-12k amortize the ~16 ms of fixed work?) and
 # the production scan dispatch.
 set -u
+# pin the published round-3 protocol: these cells were measured at
+# the parity budget BEFORE the TPU operating point became the bench
+# default; without this a rerun at HEAD would measure (and mislabel)
+# the operating point. The scene-geometry phase postdates them too.
+export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_SCENE=0
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_compcache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5

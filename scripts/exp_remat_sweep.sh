@@ -3,6 +3,12 @@
 # (the pool is single-claim — never run two chip jobs concurrently).
 # Usage: bash scripts/exp_remat_sweep.sh [outfile]
 set -u
+# pin the published round-3 protocol: these cells were measured at
+# the parity budget BEFORE the TPU operating point became the bench
+# default; without this a rerun at HEAD would measure (and mislabel)
+# the operating point. The scene-geometry phase postdates them too.
+export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_SCENE=0
 OUT=${1:-/tmp/remat_sweep.jsonl}
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:${PYTHONPATH:-}

@@ -14,18 +14,19 @@ pytestmark = pytest.mark.slow
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench(extra_env):
+def _run_bench(extra_env, timeout=900):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never claim the chip
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     env.update(NW_BENCH_BATCH="128", NW_BENCH_ITERS="2",
                NW_BENCH_FINE_LEVEL="8", NW_BENCH_WAIT_S="1",
-               NW_BENCH_N_INNER="2", NW_BENCH_SCAN_POOL_ROWS="1024")
+               NW_BENCH_N_INNER="2", NW_BENCH_SCAN_POOL_ROWS="1024",
+               NW_BENCH_SCENE="0")  # scene phase has its own smoke below
     env.update(extra_env)
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, text=True, timeout=900,
-                       cwd=REPO)
+                       env=env, capture_output=True, text=True,
+                       timeout=timeout, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
     return json.loads(line)
@@ -71,6 +72,31 @@ def test_bench_contract(env, expect):
         assert "steady_reference_budget" not in out["phases"]
     for k, v in expect.items():
         assert out.get(k) == v, out
+
+
+def test_bench_scene_geometry_phase(tmp_path):
+    """The realistic-geometry steady phase (synthetic workspace rays +
+    trained-SDF octree_update grid) runs end to end and self-describes:
+    its grid stats must expose heterogeneous near/far and the grid
+    provenance, and the phase must never displace the shell headline."""
+    out = _run_bench({
+        "NW_BENCH_SCENE": "1",
+        "NW_BENCH_SCENE_DIR": str(tmp_path / "ws"),
+        "NW_BENCH_SCENE_STEPS": "4",
+        "NW_BENCH_SCENE_TINY": "1",  # 1-core CPU budget: tiny setup nets
+        "NW_BENCH_SCENE_LEVEL": "7",  # octree sweeps cost ~8x per level
+        "NW_BENCH_PHASE": "steady",
+        "NW_BENCH_DISPATCH": "single",
+        "NW_BENCH_OPERATING_POINT": "parity",
+    }, timeout=1500)
+    assert out["headline_phase"] == "steady"
+    assert out["phases"].get("steady_scene", 0) > 0, out
+    gs = out["grid_stats_scene"]
+    assert gs["grid_level"] == 7 and gs["occupied_voxels"] > 0
+    assert 0.0 < gs["band_hit_rate"] <= 1.0
+    # real camera geometry: per-ray near/far actually spread
+    assert gs["far_mean_std"][1] > 0.0
+    assert "scene_vs_shell_pct" in out
 
 
 def test_bench_cfg_conflict_disables_operating_point():
