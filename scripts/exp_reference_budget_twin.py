@@ -20,8 +20,10 @@ already does for the parity suites. CPU-feasible architecture: tiny
 SDF/color nets + a small bg NeRF — both cells share it, so the
 BD10-vs-BD4 delta is the measured subject.
 
-Run (never claims the TPU):
-    env -u PALLAS_AXON_POOL_IPS python scripts/exp_reference_budget_twin.py \
+Run (never claims the TPU; JAX_PLATFORMS=cpu because sitecustomize
+pins the axon platform, which env -u alone leaves dangling):
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python scripts/exp_reference_budget_twin.py \
         --out_dir /root/ref_twin --warmup 200 --steady 600
 """
 
