@@ -105,7 +105,12 @@ def apply_sdf_split(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32,
     act_dtype: dtype the hidden activations flow in. bfloat16 halves the
     dominant HBM traffic of training (activations stored for backward);
     weights stay f32 and are cast per-matmul, so weight-norm precision
-    is unaffected. Outputs are always f32.
+    is unaffected. The sdf output is always f32 (it feeds compositing /
+    eikonal math); the feature output stays in act_dtype — its only
+    consumer is the color head, which runs in act_dtype anyway, so an
+    f32 round-trip would be pure HBM traffic in both the forward and
+    the cotangent chain (bf16->f32->bf16 is value-exact; dtype-bytes
+    audit: scripts/exp_dtype_audit.py).
     """
     dims = sdf_layer_dims(cfg)
     skip_in = tuple(cfg["skip_in"])
@@ -144,7 +149,7 @@ def apply_sdf_split(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32,
     sdf = (h @ w[:, :1] + b[:1]).astype(jnp.float32) / scale
     feat = None
     if with_feature:
-        feat = (h @ w[:, 1:] + b[1:]).astype(jnp.float32)
+        feat = h @ w[:, 1:] + b[1:]
     return sdf.reshape(*shape, 1), (
         feat.reshape(*shape, dims[-1] - 1) if with_feature else None
     )
@@ -155,7 +160,7 @@ def apply_sdf(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray
     (concat convenience wrapper over apply_sdf_split; hot paths consume
     the split outputs directly)."""
     sdf, feat = apply_sdf_split(params, cfg, x, act_dtype)
-    return jnp.concatenate([sdf, feat], axis=-1)
+    return jnp.concatenate([sdf, feat.astype(sdf.dtype)], axis=-1)
 
 
 def sdf_value(params, cfg, x: jnp.ndarray, act_dtype=jnp.float32) -> jnp.ndarray:
