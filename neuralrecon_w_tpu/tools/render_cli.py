@@ -59,6 +59,15 @@ def get_opts(argv=None):
                              "GIF of the frames (ping-pong loop)")
     parser.add_argument("--gif_ms", type=int, default=120,
                         help="GIF frame duration in milliseconds")
+    parser.add_argument("--dispatch", choices=["scan", "chunk"],
+                        default="scan",
+                        help="'scan' (default) renders a whole frame as "
+                             "ONE device dispatch (lax.scan over chunk "
+                             "tiles — the serving path; amortizes the "
+                             "~90 ms per-dispatch transport latency); "
+                             "'chunk' keeps the host-side chunk loop "
+                             "(reference validation behavior, also used "
+                             "automatically on a multi-device mesh)")
     return parser.parse_args(argv)
 
 
@@ -118,7 +127,7 @@ def main(argv=None):
     from ..ops.ray_voxel import device_grid_from_host as make_device_grid
     from ..rendering.renderer import render_config_from_cfg
     from ..training.checkpoint import restore_checkpoint
-    from ..training.step import make_render_fn
+    from ..training.step import make_render_fn, make_scan_render_fn
     from ..training.validation import render_image
     from ..utils.scene import load_scene_bundle, val_downscale
 
@@ -150,11 +159,16 @@ def main(argv=None):
         print(f"# chunk {args.chunk} not divisible by "
               f"{mesh.shape[DATA_AXIS]} devices; rendering single-device")
         mesh = None
+    scan_render = None
+    if args.dispatch == "scan" and (
+            mesh is None or int(mesh.shape.get(DATA_AXIS, 1)) == 1):
+        scan_render = make_scan_render_fn(fc, rcfg, args.chunk)
 
     def render_view(pars, rays10, ts, wh, name):
         labels = np.zeros((len(rays10),), np.int32)
         out = render_image(render_chunk, pars, scene, rays10, ts, labels,
-                           wh, args.chunk, fine_dgrid, sfm_dgrid, mesh=mesh)
+                           wh, args.chunk, fine_dgrid, sfm_dgrid, mesh=mesh,
+                           scan_render=scan_render)
         _save_frame(args.out_dir, name, out)
         print(f"wrote {args.out_dir}/{name}.png ({wh[0]}x{wh[1]})")
 

@@ -234,3 +234,49 @@ def make_render_fn(fc: FieldConfig, rcfg: RenderConfig):
         )
 
     return render_chunk
+
+
+def make_scan_render_fn(fc: FieldConfig, rcfg: RenderConfig, chunk: int):
+    """Whole-frame render as ONE device dispatch: ``lax.scan`` over
+    chunk-sized ray tiles, the inference analogue of
+    ``make_scan_train_fn``. The reference renders eval images as a
+    host-side chunk loop (reference lightning_modules/
+    neuconw_system.py:415-422) and so does ``render_image``'s fallback;
+    over a high-latency transport (the axon tunnel pays ~90 ms per
+    dispatch) that loop costs ceil(H*W/chunk) round-trips per frame.
+    Here the loop is a device-side scan, so a frame is one dispatch and
+    one result fetch regardless of size.
+
+    Only the images render_image consumes are emitted (color, depth,
+    weighted normal) — the normal is reduced inside the scan body so
+    the stacked carry stays O(n_rays * 3), not O(n_rays * n_samples).
+    Rays must be pre-padded to a multiple of ``chunk``; the jit
+    re-traces per distinct ray count (one compile per frame size)."""
+
+    def run(params, scene, rays, ts, labels, rng, fine_grid=None,
+            sfm_grid=None):
+        n_chunks = rays.shape[0] // chunk
+
+        def body(carry, xs):
+            r, t, l = xs
+            out = render_rays(
+                params, fc, rcfg, scene, r, t, l, rng,
+                cos_anneal_ratio=1.0, fine_grid=fine_grid,
+                sfm_grid=sfm_grid, perturb_overwrite=0.0,
+            )
+            g = out["gradients"]
+            wgt = out["weights"][:, : g.shape[1], None]
+            return carry, (out["color"], out["depth"], (g * wgt).sum(axis=1))
+
+        _, (color, depth, normal) = jax.lax.scan(
+            body, None,
+            (rays.reshape(n_chunks, chunk, rays.shape[-1]),
+             ts.reshape(n_chunks, chunk),
+             labels.reshape(n_chunks, chunk)))
+        return {
+            "color": color.reshape(n_chunks * chunk, 3),
+            "depth": depth.reshape(n_chunks * chunk),
+            "normal": normal.reshape(n_chunks * chunk, 3),
+        }
+
+    return jax.jit(run)

@@ -43,6 +43,7 @@ def render_image(
     sfm_grid=None,
     rng=None,
     mesh=None,
+    scan_render=None,
 ):
     """Chunked full-image render. render_chunk is make_render_fn's jitted
     function; chunk matches --test_batch_size (reference
@@ -50,7 +51,10 @@ def render_image(
     rays are sharded over the data axis (params/scene/grids replicated)
     and XLA's SPMD partitioner splits the per-ray pipeline — the
     multi-chip replacement for the reference's single-GPU validation
-    render (reference neuconw_system.py:404-430). Returns dict of
+    render (reference neuconw_system.py:404-430). With ``scan_render``
+    (make_scan_render_fn's jitted function) the whole frame renders in
+    ONE device dispatch instead of a host chunk loop — the serving
+    path; the mesh path keeps the per-chunk loop. Returns dict of
     (H, W, ...) images."""
     import jax
     import jax.numpy as jnp
@@ -79,6 +83,17 @@ def render_image(
         params, scene, fine_grid, sfm_grid, rng = jax.device_put(
             (params, scene, fine_grid, sfm_grid, rng), rep)
         put = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+
+    if scan_render is not None and (
+            mesh is None or int(mesh.shape.get(DATA_AXIS, 1)) == 1):
+        out = scan_render(params, scene, jnp.asarray(rays),
+                          jnp.asarray(ts), jnp.asarray(labels), rng,
+                          fine_grid, sfm_grid)
+        return {
+            "color": np.asarray(out["color"])[:n].reshape(h, w, 3),
+            "depth": np.asarray(out["depth"])[:n].reshape(h, w),
+            "normal": np.asarray(out["normal"])[:n].reshape(h, w, 3),
+        }
 
     colors, depths, normals = [], [], []
     for i in range(0, len(rays), chunk):

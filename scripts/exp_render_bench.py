@@ -66,7 +66,9 @@ def run_ours(args):
     from neuralrecon_w_tpu.config import get_cfg_defaults
     from neuralrecon_w_tpu.models import field_config_from_cfg, init_field
     from neuralrecon_w_tpu.rendering import render_config_from_cfg
-    from neuralrecon_w_tpu.training.step import make_render_fn
+    from neuralrecon_w_tpu.training.step import (
+        make_render_fn, make_scan_render_fn,
+    )
 
     level = args.fine_level
     budgets = {}
@@ -125,6 +127,42 @@ def run_ours(args):
                 }
                 print(json.dumps(rec), flush=True)
                 results.append(rec)
+            # whole-frame single-dispatch scan (render_cli --dispatch
+            # scan): one 800x600 frame per device call — measures the
+            # true s/frame including transport, not an extrapolation
+            if args.frame_chunk > 0:
+                if (jax.default_backend() == "cpu"
+                        and args.frame_rays > 50_000):
+                    print(json.dumps({"note": "frame cell skipped on CPU "
+                                              "(too slow); set "
+                                              "--frame_rays <= 50000"}),
+                          flush=True)
+                else:
+                    n_pad = -(-args.frame_rays // args.frame_chunk)
+                    n_rays = n_pad * args.frame_chunk
+                    b = _make_batch(n_rays, fc.n_vocab, seed=3)
+                    scan_render = make_scan_render_fn(fc, rcfg,
+                                                      args.frame_chunk)
+                    cargs = (params, scene, b["rays"], b["ts"],
+                             b["labels"], rng, grid, None)
+                    out = scan_render(*cargs)
+                    float(out["color"][0, 0])
+                    t0 = time.perf_counter()
+                    for _ in range(args.iters):
+                        out = scan_render(*cargs)
+                    float(out["color"][0, 0])
+                    dt = (time.perf_counter() - t0) / args.iters
+                    rec = {
+                        "mode": "ours", "budget": bname, "phase": phase,
+                        "dispatch": "scan_frame",
+                        "chunk": args.frame_chunk, "n_rays": n_rays,
+                        "dtype": args.dtype,
+                        "rays_per_sec": round(n_rays / dt, 1),
+                        "s_per_frame_800x600": round(
+                            dt * FRAME_RAYS / n_rays, 3),
+                    }
+                    print(json.dumps(rec), flush=True)
+                    results.append(rec)
     best = max(results, key=lambda r: r["rays_per_sec"])
     summary = {
         "summary": "ours", "backend": jax.default_backend(),
@@ -221,6 +259,11 @@ def main(argv=None):
     ap.add_argument("--min_rays", type=int, default=200_000,
                     help="ours mode: raise iters so each timed cell "
                          "covers at least this many rays")
+    ap.add_argument("--frame_chunk", type=int, default=16384,
+                    help="ours mode: scan tile for the whole-frame "
+                         "single-dispatch cell (0 disables)")
+    ap.add_argument("--frame_rays", type=int, default=FRAME_RAYS,
+                    help="ours mode: rays per frame for the scan cell")
     ap.add_argument("--boundary", type=int, default=10,
                     help="reference mode: BOUNDARY_SAMPLES")
     ap.add_argument("--profile_flops", action="store_true")

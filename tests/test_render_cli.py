@@ -176,7 +176,8 @@ def _sharded_setup(cfg_path, ckpt_path):
     ts = rays[:, 8].astype(np.int32)
     labels = np.zeros((len(rays10),), np.int32)
     kw = dict(chunk=40, fine_grid=None, sfm_grid=sfm_dgrid)
-    return render_chunk, params, scene, rays10, ts, labels, (w, h), kw
+    return (render_chunk, params, scene, rays10, ts, labels, (w, h), kw,
+            (fc, rcfg))
 
 
 _sharded_single_cache = {}
@@ -190,7 +191,7 @@ def _assert_sharded_parity(render_setup, mesh_kwargs):
 
     cfg_path, ckpt_path, _ = render_setup
     (render_chunk, params, scene, rays10, ts, labels, wh,
-     kw) = _sharded_setup(cfg_path, ckpt_path)
+     kw, _fcrcfg) = _sharded_setup(cfg_path, ckpt_path)
     # the single-device reference render is identical across the mesh
     # variants; compute it once per session
     if "single" not in _sharded_single_cache:
@@ -215,3 +216,27 @@ def test_sharded_render_with_model_axis(render_setup):
     """A (data=4, model=2) mesh must also reproduce the single-device
     render: rays shard on data only, params replicate over both axes."""
     _assert_sharded_parity(render_setup, dict(n_data=4, n_model=2))
+
+
+def test_scan_render_matches_chunk_loop(render_setup):
+    """make_scan_render_fn (whole frame in ONE device dispatch, the
+    render_cli --dispatch scan serving path) reproduces the host
+    chunk-loop render image-for-image."""
+    import numpy as np
+
+    from neuralrecon_w_tpu.training.step import make_scan_render_fn
+    from neuralrecon_w_tpu.training.validation import render_image
+
+    cfg_path, ckpt_path, _ = render_setup
+    (render_chunk, params, scene, rays10, ts, labels, wh,
+     kw, (fc, rcfg)) = _sharded_setup(cfg_path, ckpt_path)
+    if "single" not in _sharded_single_cache:
+        _sharded_single_cache["single"] = render_image(
+            render_chunk, params, scene, rays10, ts, labels, wh, **kw)
+    single = _sharded_single_cache["single"]
+    scan_render = make_scan_render_fn(fc, rcfg, kw["chunk"])
+    scanned = render_image(render_chunk, params, scene, rays10, ts, labels,
+                           wh, scan_render=scan_render, **kw)
+    for k in ("color", "depth", "normal"):
+        np.testing.assert_allclose(scanned[k], single[k], rtol=2e-5,
+                                   atol=2e-5, err_msg=k)
