@@ -257,6 +257,32 @@ def test_bg_samples_general_rays_approximate_and_finite():
     assert gnorm > 0
 
 
+@pytest.mark.parametrize("with_fine", [False, True])
+def test_scan_render_matches_direct(with_fine):
+    """make_scan_render_fn tile-scans reproduce direct render_rays calls
+    — including the fine-grid steady path render_cli restores from
+    checkpoints (the in-step sampled query inside a scan body)."""
+    from neuralrecon_w_tpu.training.step import make_scan_render_fn
+
+    params, fc, rcfg, scene, grid = small_setup(with_fine_grid=with_fine)
+    rays, ts, labels = make_rays(r=16)
+    grid = grid if with_fine else None
+    rng = jax.random.PRNGKey(0)
+    scan_render = make_scan_render_fn(fc, rcfg, chunk=8)
+    out = scan_render(params, scene, rays, ts, labels, rng, grid, None)
+    for i in range(0, 16, 8):
+        direct = render_rays(
+            params, fc, rcfg, scene, rays[i:i + 8], ts[i:i + 8],
+            labels[i:i + 8], rng, 1.0, fine_grid=grid,
+            perturb_overwrite=0.0)
+        np.testing.assert_allclose(np.asarray(out["color"][i:i + 8]),
+                                   np.asarray(direct["color"]),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["depth"][i:i + 8]),
+                                   np.asarray(direct["depth"]),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_render_deterministic_when_perturb_zero():
     params, fc, rcfg, scene, _ = small_setup()
     rays, ts, labels = make_rays()
