@@ -319,6 +319,7 @@ def main():
     def timed(step, state, *extra, batch_arrays=None, extra_s_per_step=0.0,
               scene_info=None):
         b = batch if batch_arrays is None else batch_arrays
+        n_rays = int(b["rays"].shape[0])  # may be < BATCH (scene pool cap)
         sc_ = scene if scene_info is None else scene_info
         for _ in range(WARMUP):
             state, aux = step(state, sc_, b, rng, *extra)
@@ -328,11 +329,11 @@ def main():
         float(aux["loss"])
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            state, aux = step(state, scene, b, rng, *extra)
+            state, aux = step(state, sc_, b, rng, *extra)
         loss = float(aux["loss"])
         dt = time.perf_counter() - t0
         assert loss == loss, "NaN loss in benchmark"
-        return state, BATCH * ITERS / (dt + ITERS * extra_s_per_step)
+        return state, n_rays * ITERS / (dt + ITERS * extra_s_per_step)
 
     def timed_scan(rcfg_p, pool, *grids, scene_info=None):
         """Time the production scan-dispatch loop: N_INNER steps per
@@ -597,9 +598,13 @@ def main():
             "BG_SAMPLES": rcfg_headline.bg_samples,
             "BOUNDARY_SAMPLES": rcfg_headline.boundary_samples,
             "FIELD_DTYPE": cfg.TPU.FIELD_DTYPE,
+            # only claim the shipped artifact when the HEADLINE phase
+            # actually ran it (warmup-only runs measure the parity budget
+            # even with an operating point loaded)
             "config_artifact": (os.path.relpath(OP_CONFIG_PATH,
                                                 os.path.dirname(os.path.abspath(__file__)))
-                                if OPERATING_POINT else None),
+                                if OPERATING_POINT
+                                and headline_phase == "steady" else None),
         },
         "baseline": {
             "a100_rays_per_sec": A100_REFERENCE_RAYS_PER_SEC,

@@ -38,7 +38,17 @@ class CfgNode(dict):
     def merge_from_other_cfg(self, other: dict) -> None:
         _merge_into(other, self, [])
 
-    def merge_from_file(self, cfg_filename: str) -> None:
+    def merge_from_file(self, cfg_filename: str, _seen=None) -> None:
+        import os
+
+        # cycle guard: a self- or mutually-referencing _BASE_ chain must
+        # be a clear error, not a RecursionError 1000 frames later
+        path = os.path.abspath(cfg_filename)
+        seen = _seen if _seen is not None else []
+        if path in seen:
+            raise ValueError(
+                "_BASE_ include cycle: " + " -> ".join(seen + [path]))
+        seen = seen + [path]
         with open(cfg_filename, "r") as f:
             loaded = yaml.safe_load(f)
         if loaded is None:
@@ -49,10 +59,8 @@ class CfgNode(dict):
         # hyperparameters live in exactly one place.
         base = loaded.pop("_BASE_", None)
         if base is not None:
-            import os
-
             self.merge_from_file(
-                os.path.join(os.path.dirname(os.path.abspath(cfg_filename)), base)
+                os.path.join(os.path.dirname(path), base), _seen=seen
             )
         _merge_into(loaded, self, [])
 

@@ -9,6 +9,7 @@ set -u
 # default; without this a rerun at HEAD would measure (and mislabel)
 # the operating point. The scene-geometry phase postdates them too.
 export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_DISPATCH=single  # round-3 cells were measured pre-scan-default
 export NW_BENCH_SCENE=0
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_compcache

@@ -8,6 +8,7 @@ set -u
 # default; without this a rerun at HEAD would measure (and mislabel)
 # the operating point. The scene-geometry phase postdates them too.
 export NW_BENCH_OPERATING_POINT=parity
+export NW_BENCH_DISPATCH=single  # round-3 cells were measured pre-scan-default
 export NW_BENCH_SCENE=0
 OUT=${1:-/tmp/remat_sweep.jsonl}
 cd "$(dirname "$0")/.."

@@ -18,7 +18,15 @@ if [[ "$cfg" != *_tpu.yaml ]]; then
   if [[ -f "$tpu_cfg" ]]; then
     mode="${NW_TPU_CONFIG:-auto}"
     if [[ "$mode" == auto ]]; then
-      backend=$(python -c "import jax; print(jax.default_backend())" 2>/dev/null || echo none)
+      # bounded probe: backend init claims the (single-claim) device and
+      # can wedge if another process holds it; never hang the launcher.
+      # A failed/timed-out probe falls back to the parity config LOUDLY —
+      # set NW_TPU_CONFIG=1 explicitly if the probe cannot run.
+      backend=$(timeout 240 python -c "import jax; print(jax.default_backend())" 2>/dev/null || echo none)
+      if [[ "$backend" == none ]]; then
+        echo "WARNING: TPU backend probe failed or timed out; using the" \
+             "parity config $cfg (NW_TPU_CONFIG=1 forces $tpu_cfg)" >&2
+      fi
       [[ "$backend" == tpu || "$backend" == axon ]] && mode=1 || mode=0
     fi
     if [[ "$mode" == 1 ]]; then

@@ -83,3 +83,21 @@ def test_base_key_relative_and_override_order(tmp_path):
     cfg.merge_from_file(str(child))
     assert cfg.NEUCONW.N_SAMPLES == 16  # child wins
     assert cfg.NEUCONW.N_OUTSIDE == 4  # base applied
+
+
+def test_base_key_cycle_is_clear_error(tmp_path):
+    """A self- or mutually-referencing _BASE_ chain raises ValueError
+    naming the cycle, not a RecursionError 1000 frames deep."""
+    import pytest
+
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text("_BASE_: b.yaml\n")
+    b.write_text("_BASE_: a.yaml\n")
+    cfg = get_cfg_defaults()
+    with pytest.raises(ValueError, match="_BASE_ include cycle"):
+        cfg.merge_from_file(str(a))
+    selfref = tmp_path / "s.yaml"
+    selfref.write_text("_BASE_: s.yaml\n")
+    with pytest.raises(ValueError, match="_BASE_ include cycle"):
+        get_cfg_defaults().merge_from_file(str(selfref))
