@@ -42,6 +42,10 @@ CELLS = {
     "ref": {"bg": -1, "bd": 10},
     "bg4bd4": {"bg": 4, "bd": 4},
     "bg4bd2": {"bg": 4, "bd": 2},
+    # single-knob cells: disambiguate WHICH lever moves quality when a
+    # combined cell drifts (run via --cells bg4bd10,refbg_bd4)
+    "bg4bd10": {"bg": 4, "bd": 10},
+    "refbg_bd4": {"bg": -1, "bd": 4},
 }
 SCENES = {
     "clean": {},
