@@ -46,6 +46,11 @@ CELLS = {
     # combined cell drifts (run via --cells bg4bd10,refbg_bd4)
     "bg4bd10": {"bg": 4, "bd": 10},
     "refbg_bd4": {"bg": -1, "bd": 4},
+    # intermediate boundary budget: candidate operating point if bd4
+    # fails the multi-seed gate but bd10 passes (est. ~95k rays/s from
+    # the BENCHMARKS.md step-time decomposition, between bd10's 85.7k
+    # and bd4's 102.7k)
+    "bg4bd6": {"bg": 4, "bd": 6},
 }
 SCENES = {
     "clean": {},
