@@ -51,6 +51,16 @@ CELLS = {
     # the BENCHMARKS.md step-time decomposition, between bd10's 85.7k
     # and bd4's 102.7k)
     "bg4bd6": {"bg": 4, "bd": 6},
+    # bg8 wave: the seed-2 clean collapse hit bg4bd10 AND bg4bd4 while
+    # ref (bg everywhere) passed — the instability tracks the BG lever,
+    # stochastically (~40% of BG4-clean draws across bd cells). BG8
+    # halves the coarse-subset approximation error and costs ~2%
+    # throughput vs BG4 (r3 steady cells: 83.8k vs 85.7k at bd10).
+    "bg8bd6": {"bg": 8, "bd": 6},
+    "bg8bd10": {"bg": 8, "bd": 10},
+    # bd6 under the reference bg budget: licenses a BD6-only operating
+    # point if every bg cut fails the clean-scene gate
+    "refbg_bd6": {"bg": -1, "bd": 6},
 }
 SCENES = {
     "clean": {},
