@@ -57,8 +57,17 @@ def test_bench_contract(env, expect):
         assert "steady_reference_budget" in out["phases"], out
         assert out["phases"]["steady_reference_budget"] > 0
         assert "vs_baseline_reference_budget" in out, out
-        assert out["operating_point"].get("BG_SAMPLES") == 4
-        assert out["operating_point"].get("BOUNDARY_SAMPLES") == 4
+        # the self-description must match the shipped config artifact
+        # (read it rather than hardcode, so an operating-point revision
+        # cannot desync this test from the artifact)
+        import yaml
+
+        with open(os.path.join(REPO, "config",
+                               "train_brandenburg_gate_tpu.yaml")) as fh:
+            op = yaml.safe_load(fh)["TPU"]
+        assert out["operating_point"].get("BG_SAMPLES") == op["BG_SAMPLES"]
+        assert (out["operating_point"].get("BOUNDARY_SAMPLES")
+                == op["BOUNDARY_SAMPLES"])
         # the benched config is the shipped train config artifact
         assert out["operating_point"]["config_artifact"] == os.path.join(
             "config", "train_brandenburg_gate_tpu.yaml")
