@@ -39,16 +39,27 @@ def surface_selection(
     sdf_threshold: float = 0.0,
     mesh=None,
     chunk: int = 65536,
+    stats_out: dict | None = None,
+    warn_degenerate: bool = True,
 ) -> np.ndarray:
     """Voxel centers (unit-sphere coords) whose SDF is <= threshold
-    (reference neuconw_system.py:186-266)."""
+    (reference neuconw_system.py:186-266). ``stats_out`` (if given) is
+    filled with n_candidates / n_kept / kept_frac so callers that
+    EXPECT a near-total keep (an untrained SDF under a generous
+    threshold, e.g. the multichip dryrun gate) can assert the fraction
+    instead of alarming the log — those callers also pass
+    ``warn_degenerate=False``."""
     dense = sfm_grid.upsample(train_level)
     centers_sfm = dense.centers_sfm()
     centers_unit = (centers_sfm - scene_origin) / scene_radius
     sdf = sharded_sdf_sweep(params, fc, centers_unit.astype(np.float32), mesh, chunk)
     keep = sdf <= sdf_threshold
     kept_frac = float(np.count_nonzero(keep)) / max(len(keep), 1)
-    if kept_frac > 0.9:
+    if stats_out is not None:
+        stats_out.update(n_candidates=int(len(keep)),
+                         n_kept=int(np.count_nonzero(keep)),
+                         kept_frac=kept_frac)
+    if kept_frac > 0.9 and warn_degenerate:
         # a near-total keep means the SDF has no meaningful zero set
         # inside the candidate region (e.g. the level-shifted
         # all-negative basin): installing this grid recenters every ray
@@ -78,15 +89,19 @@ def octree_update(
     sdf_threshold: float = 0.0,
     mesh=None,
     chunk: int = 65536,
+    stats_out: dict | None = None,
+    warn_degenerate: bool = True,
 ) -> tuple[VoxelGrid, DeviceGrid] | tuple[None, None]:
     """Rebuild the fine surface grid from the current SDF
     (reference neuconw_system.py:268-312). Returns (host grid, device
     grid); (None, None) when no voxel survives (keeps the previous grid,
-    reference logs and skips in that case)."""
+    reference logs and skips in that case). ``stats_out`` /
+    ``warn_degenerate`` pass through to :func:`surface_selection`."""
     level = surface_level(scene_config, train_voxel_size)
     centers_sfm, _ = surface_selection(
         params, fc, sfm_grid, level, scene_origin, scene_radius,
         sdf_threshold, mesh, chunk,
+        stats_out=stats_out, warn_degenerate=warn_degenerate,
     )
     if len(centers_sfm) == 0:
         return None, None
