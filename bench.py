@@ -6,7 +6,7 @@ Adam) on whatever chip jax defaults to, and prints ONE JSON line.
 
 The default headline measures the shipped TPU operating point
 (``config/train_brandenburg_gate_tpu.yaml``: 8 uniform + 16 importance
-over 2 up-sample rounds + 6 boundary samples, background NeRF at 4
+over 2 up-sample rounds + 6 boundary samples, background NeRF at 8
 coarse positions + the exact n_outside tail, bfloat16 activations) —
 the same config ``scripts/train.sh`` selects on a TPU backend. Because
 BOUNDARY_SAMPLES is also a knob the reference's YAMLs expose
@@ -77,10 +77,10 @@ PHASE = os.environ.get("NW_BENCH_PHASE", "both")  # warmup | steady | both
 # The production TPU operating point for the steady (headline) phase is
 # read from the SHIPPED config artifact (the same file scripts/train.sh
 # selects on TPU), so the benched config and the trained config cannot
-# drift apart. Quality ablation (round-4 multi-seed, BENCHMARKS.md +
-# docs/bg_boundary_ablation_r4.json): BG4+BD6 holds F@0.1 >= 0.97 on
-# every seed x scene draw; BD4 and BD2 are rejected for stochastic
-# clean-scene geometry collapse. When active, bench.py ALSO measures the steady phase at the
+# drift apart. Quality ablation (round-5 pre-registered decision wave,
+# BENCHMARKS.md + docs/bg_boundary_ablation_r5.json): BG8+BD6 passed
+# every clean draw; BG4 (any boundary budget), BD4 and BD2 are
+# rejected for stochastic clean-scene geometry collapse. When active, bench.py ALSO measures the steady phase at the
 # reference budget and reports it as phases.steady_reference_budget so
 # both numbers stay auditable. NW_BENCH_OPERATING_POINT=parity restores
 # the reference budget as the headline. If NW_BENCH_CFG touches any

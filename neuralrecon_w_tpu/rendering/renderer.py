@@ -95,6 +95,24 @@ def _check_remat(name):
     return name
 
 
+def _checked_bg_samples(bg: int) -> int:
+    """TPU.BG_SAMPLES below 8 is rejected by the multi-seed quality
+    ablation (docs/bg_boundary_ablation_r5.json: 5/17 BG4 clean-scene
+    draws collapse geometry stochastically — healthy PSNR, detached SDF
+    zero set — across every boundary budget incl. the reference's).
+    The value stays configurable for experiments, but warn loudly."""
+    if 0 < bg < 8:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "TPU.BG_SAMPLES=%d is below the quality-validated minimum of "
+            "8: the coarse-subset background at %d positions collapses "
+            "clean-scene geometry on ~1/3 of training draws (multi-seed "
+            "ablation, docs/bg_boundary_ablation_r5.json). Use 8+, or -1 "
+            "for the reference behavior.", bg, bg)
+    return bg
+
+
 def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=None, perturb=None):
     n = cfg.NEUCONW
     from ..datasets.mask_utils import get_label_id_mapping
@@ -142,7 +160,7 @@ def render_config_from_cfg(cfg, sfm_level=-1, fine_level=-1, nerf_far_override=N
         surface_query_samples=int(
             getattr(cfg.TPU, "SURFACE_QUERY_SAMPLES", 1024)
         ),
-        bg_samples=int(getattr(cfg.TPU, "BG_SAMPLES", -1)),
+        bg_samples=_checked_bg_samples(int(getattr(cfg.TPU, "BG_SAMPLES", -1))),
     )
 
 

@@ -23,7 +23,7 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_compcache
 # keep in sync with config/train_*_tpu.yaml (the profiler cell takes the
 # operating point via NW_BENCH_CFG, not the YAML)
-NW_OP_CFG="${NW_OP_CFG:-TPU.BG_SAMPLES=4;TPU.BOUNDARY_SAMPLES=6}"
+NW_OP_CFG="${NW_OP_CFG:-TPU.BG_SAMPLES=8;TPU.BOUNDARY_SAMPLES=6}"
 
 echo "== [1/4] prep bench scene (build outside the bench window) =="
 timeout 3600 python scripts/prep_bench_scene.py --copy_assets 2>&1 | tail -5

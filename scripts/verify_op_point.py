@@ -5,7 +5,7 @@ Two stages:
 1. Load `config/train_brandenburg_gate_tpu.yaml` through the real
    config loader (exercises the `_BASE_` include chain) and assert the
    operating point resolves into the steady render config exactly as
-   shipped (BOUNDARY_SAMPLES 6, BG_SAMPLES 4, bf16).
+   shipped (the docs/bg_boundary_ablation_r5.json verdict cell, bf16).
 2. Drive the full user flow — synthetic COLMAP workspace -> split ->
    ray cache -> train_cli through an octree_update into the steady
    phase — with the same TPU namespace on small nets, and assert the
@@ -40,17 +40,28 @@ cfg = get_cfg_defaults()
 cfg.merge_from_file(os.path.join(REPO, "config",
                                  "train_brandenburg_gate_tpu.yaml"))
 assert cfg.TPU.FIELD_DTYPE == "bfloat16", cfg.TPU.FIELD_DTYPE
-assert cfg.TPU.BG_SAMPLES == 4, cfg.TPU.BG_SAMPLES
-assert cfg.TPU.BOUNDARY_SAMPLES == 6, cfg.TPU.BOUNDARY_SAMPLES
+# the VALUES are pinned to the ablation verdict by
+# tests/test_scene_configs.py::test_tpu_operating_point_matches_decision_wave_verdict;
+# this drive checks the artifact against the same source of truth
+verdict = json.load(open(os.path.join(
+    REPO, "docs", "bg_boundary_ablation_r5.json")))["verdict"]
+exp_bg, exp_bd = {"bg4bd6": (4, 6), "bg8bd6": (8, 6),
+                  "refbg_bd6": (-1, 6),
+                  "reference_budget": (-1, -1)}[verdict]
+assert cfg.TPU.BG_SAMPLES == exp_bg, (cfg.TPU.BG_SAMPLES, verdict)
+assert cfg.TPU.BOUNDARY_SAMPLES == exp_bd, (cfg.TPU.BOUNDARY_SAMPLES, verdict)
 # parity knobs inherited from the _BASE_ scene config survive the include
 assert cfg.NEUCONW.BOUNDARY_SAMPLES == 10  # reference YAML budget
 assert cfg.NEUCONW.N_SAMPLES == 8 and cfg.NEUCONW.N_IMPORTANCE == 16
 # steady render config takes the TPU override; warm-up (no fine grid)
 # keeps the parity budget (boundary samples only exist in steady)
 rc_steady = render_config_from_cfg(cfg, fine_level=10)
-assert rc_steady.boundary_samples == 6, rc_steady.boundary_samples
-assert rc_steady.bg_samples == 4, rc_steady.bg_samples
-print("stage 1 OK: artifact resolves to steady boundary=6 bg=4 bf16")
+assert rc_steady.boundary_samples == (
+    exp_bd if exp_bd >= 0 else cfg.NEUCONW.BOUNDARY_SAMPLES)
+assert rc_steady.bg_samples == exp_bg, rc_steady.bg_samples
+print(f"stage 1 OK: artifact resolves to steady boundary="
+      f"{rc_steady.boundary_samples} bg={rc_steady.bg_samples} bf16 "
+      f"(verdict {verdict})")
 
 # ---- stage 2: end-to-end user flow with the same TPU namespace -----------
 from neuralrecon_w_tpu.testing import make_synthetic_scene  # noqa: E402
@@ -81,8 +92,8 @@ small = {
         "LOSS": {"depth_weight": 1.0},
     },
     # the operating point under test (small nets, same TPU namespace)
-    "TPU": {"FIELD_DTYPE": "bfloat16", "BG_SAMPLES": 4,
-            "BOUNDARY_SAMPLES": 6},
+    "TPU": {"FIELD_DTYPE": "bfloat16", "BG_SAMPLES": exp_bg,
+            "BOUNDARY_SAMPLES": exp_bd},
     "DATASET": {"ROOT_DIR": root, "DATASET_NAME": "phototourism",
                 "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
     "TRAINER": {"SAVE_FREQ": 1000, "VAL_FREQ": 1000.0,
@@ -101,10 +112,11 @@ assert int(trainer.state.step) == 200
 assert trainer.fine_grid_host is not None, "octree_update did not fire"
 n_vox = int(trainer.fine_grid_host.coords.shape[0])
 assert n_vox > 1000, f"degenerate fine grid: {n_vox}"
-# steady phase (steps 100-200) ran boundary=6: the trainer's steady
-# render config is derived from the same cfg
+# steady phase (steps 100-200) ran the verdict budget: the trainer's
+# steady render config is derived from the same cfg
 rc = render_config_from_cfg(trainer.cfg, fine_level=trainer.fine_grid_host.level)
-assert rc.boundary_samples == 6 and rc.bg_samples == 4
+assert rc.boundary_samples == (exp_bd if exp_bd >= 0 else 10)
+assert rc.bg_samples == exp_bg
 
 rows = [json.loads(line) for line in
         open(os.path.join(work, "op", "logs", "metrics.jsonl"))]
@@ -113,6 +125,7 @@ assert losses and all(l == l for l in losses), "non-finite loss"
 # few rows are logged at this step count: compare first vs last row
 head, tail = losses[0], losses[-1]
 assert len(losses) >= 2 and tail < head, (losses,)
-print(f"stage 2 OK: 200 steps through octree_update at BD6/BG4/bf16, "
+print(f"stage 2 OK: 200 steps through octree_update at "
+      f"BD{exp_bd}/BG{exp_bg}/bf16, "
       f"fine grid {n_vox} voxels, loss {head:.4f} -> {tail:.4f}")
 print("VERIFY OK")
