@@ -245,6 +245,14 @@ def scene_geometry(level_target: int, train_batch: int,
     bbx_min, bbx_max = scene_bbx_sfm(sc, in_sfm=True)
     scene_scale = float(np.max(bbx_max - bbx_min) / 2.0)
     train_voxel = 2.0 * scene_scale * 1.001 / (1 << level_target)
+    # The training-time refresh runs at a coarser level: a level-10
+    # surface_selection densifies the whole SFM grid (tens of millions
+    # of candidates) on the single host core — 30+ min per refresh.
+    # The final level_target grid is built hierarchically below
+    # (coarse shell -> upsample kept voxels only), which is ~8^3
+    # cheaper per stage.
+    coarse_level = min(level_target, 7)
+    coarse_voxel = 2.0 * scene_scale * 1.001 / (1 << coarse_level)
 
     # NW_BENCH_SCENE_TINY=1: run the scene-SETUP training with small
     # nets (the CPU smoke test's 1-core budget can't afford a flagship
@@ -261,16 +269,29 @@ def scene_geometry(level_target: int, train_batch: int,
         cfg_y = {
             "NEUCONW": {
                 "ANNEAL_END": max(steps, 1), "UPDATE_FREQ": max(steps // 2, 1),
-                "TRAIN_VOXEL_SIZE": train_voxel, "SDF_THRESHOLD": 0.0,
+                "TRAIN_VOXEL_SIZE": coarse_voxel, "SDF_THRESHOLD": 0.0,
                 "NEAR_FAR_OVERRIDE": True, "N_VOCAB": 32,
                 "DEPTH_LOSS": True,
+                # the brandenburg TRAINING budget. Without these the
+                # yacs DEFAULTS apply — the reference's dense path
+                # (512 uniform + 512 importance over 4 up-sample
+                # rounds + 32 outside), whose flagship-width XLA
+                # program wedges the remote compiler for 25+ minutes.
+                # This is what actually killed the round-4 driver
+                # bench inside scene setup.
+                "N_SAMPLES": 8, "N_IMPORTANCE": 16, "UP_SAMPLE_STEP": 2,
+                "N_OUTSIDE": 4, "BOUNDARY_SAMPLES": 10, "S_VAL_BASE": 3,
+                "SAMPLE_RANGE": 16,
                 "LOSS": {"depth_weight": 1.0, "igr_weight": 0.001},
             },
             "DATASET": {"ROOT_DIR": ws, "DATASET_NAME": "phototourism",
                         "PHOTOTOURISM": {"IMG_DOWNSCALE": 1}},
             "TRAINER": {"SAVE_FREQ": 10 ** 9, "VAL_FREQ": 1e9,
                         "CANONICAL_LR": 5e-4, "CANONICAL_BS": 2048},
-            "TPU": {"FIELD_DTYPE": cfg_field_dtype_for_scene()},
+            # production scan dispatch (what the ablation runs use);
+            # the host-loop fallback pays per-step tunnel latency
+            "TPU": {"FIELD_DTYPE": cfg_field_dtype_for_scene(),
+                    "DEVICE_POOL": True, "SCAN_INNER": 20},
         }
         if tiny:
             cfg_y["NEUCONW"]["SDF_CONFIG"] = {
@@ -291,10 +312,30 @@ def scene_geometry(level_target: int, train_batch: int,
             "--max_steps", str(steps), "--exp_name", "bench_scene",
             "--save_dir", os.path.join(ws, "runs"),
         ])
-        trainer.refine_surface()  # grid from the FINAL params
+        trainer.refine_surface()  # coarse shell from the FINAL params
         host = trainer.fine_grid_host
         if host is None:
             raise RuntimeError("octree_update kept no voxels")
+        if host.level < level_target:
+            # hierarchical refinement: one level per stage (8 children
+            # per kept voxel), re-sweeping the trained SDF each time —
+            # candidates stay shell-bounded instead of the dense 8^dL
+            # blow-up of a single jump
+            from neuralrecon_w_tpu.training.surface import octree_update
+
+            params_host = jax.device_get(trainer.state.params)
+            for lvl in range(host.level + 1, level_target + 1):
+                lvl_voxel = 2.0 * scene_scale * 1.001 / (1 << lvl)
+                host, _ = octree_update(
+                    params_host, trainer.fc, host, sc,
+                    np.asarray(sc["origin"], np.float64),
+                    float(sc["radius"]), train_voxel_size=lvl_voxel,
+                    sdf_threshold=0.0)
+                if host is None:
+                    raise RuntimeError(
+                        f"octree_update kept no voxels at level {lvl}")
+                print(f"# staged refine: level {lvl} -> "
+                      f"{host.coords.shape[0]} voxels", flush=True)
         np.savez(grid_npz, level=host.level, origin=host.origin,
                  scale=host.scale, coords=host.coords)
     z = np.load(grid_npz)
